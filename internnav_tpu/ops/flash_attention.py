@@ -1,0 +1,300 @@
+"""Flash attention for TPU (Pallas) with causal + segment-id masking.
+
+Replaces the reference's flash-attn CUDA dependency (reference
+requirements/internvla_n1.txt; used at internvla_n1_policy.py:37 and by the
+sequence-packing patch in trainer/qwenvl_base.py:18-104). The segment-id
+variant is the TPU equivalent of `flash_attn_varlen_func` + `cu_seqlens`
+packing: packed samples carry an integer segment id per token and attention
+is confined within equal segments.
+
+Layout: q, k, v are (B, H, T, D). Stats are kept in fp32; the score matrix
+is never materialized beyond one (block_q, block_k) tile (online softmax).
+
+`flash_attention` is differentiable: the forward runs the Pallas kernel and
+the backward recomputes attention gradients with the tiled-free reference
+path under jax.checkpoint semantics (fine for the ≤8k sequences this
+framework trains at; a dedicated dq/dkv kernel is a later optimization).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+NUM_LANES = 128
+
+
+# ----------------------------------------------------------------- reference
+def mha_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    sm_scale: Optional[float] = None,
+    kv_len: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Plain-XLA attention, ground truth for the Pallas kernel.
+
+    q: (B, H, Tq, D); k/v: (B, H, Tk, D); segment_ids: (B, Tq) int32;
+    kv_segment_ids defaults to segment_ids (self-attention).
+    """
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    s = s * sm_scale
+    Tq, Tk = q.shape[2], k.shape[2]
+    mask = jnp.ones((q.shape[0], 1, Tq, Tk), dtype=bool)
+    if causal:
+        offset = Tk - Tq  # queries are the last Tq positions of the kv stream
+        cm = jnp.tril(jnp.ones((Tq, Tk), dtype=bool), k=offset)
+        mask = mask & cm[None, None]
+    if segment_ids is not None:
+        kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
+        sm = segment_ids[:, :, None] == kv_seg[:, None, :]
+        mask = mask & sm[:, None]
+    if kv_len is not None:
+        lm = jnp.arange(Tk)[None, :] < jnp.asarray(kv_len).reshape(-1, 1)
+        mask = mask & lm[:, None, None, :]
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    # rows with no valid key (padding query rows) produce ~uniform garbage;
+    # zero them so packed-padding rows contribute nothing downstream.
+    any_valid = jnp.any(mask, axis=-1, keepdims=True)
+    p = jnp.where(any_valid, p, 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+# -------------------------------------------------------------------- kernel
+def _flash_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+    o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, causal: bool, sm_scale: float, block_q: int, block_k: int,
+    kv_blocks: int, use_segments: bool,
+):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    # whole-block causal skip: run only if some (row, col) with col <= row
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)  # (block_q, D)
+        k = k_ref[0, 0].astype(jnp.float32)  # (block_k, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_k)
+        s = s * sm_scale
+
+        mask = None
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_idx * block_q
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
+            mask = col <= row
+        if use_segments:
+            qs = qseg_ref[0]  # (block_q,)
+            ks = kseg_ref[0]  # (block_k,)
+            seg = qs[:, None] == ks[None, :]
+            mask = seg if mask is None else (mask & seg)
+        if mask is not None:
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]  # (block_q, NUM_LANES) broadcast stats
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_curr)  # broadcast over lanes
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        if mask is not None:
+            # exp(MASK - max) can be nonzero garbage when a whole row is
+            # masked (max == MASK_VALUE); force masked entries to zero.
+            p = jnp.where(mask, p, 0.0)
+        l_corr = alpha * l_prev
+        l_next = l_corr + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        l_next_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+        acc_scratch[...] *= (l_corr * l_next_inv)[:, :1]
+        v = v_ref[0, 0].astype(jnp.float32)
+        o_curr = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        acc_scratch[...] += o_curr * l_next_inv[:, :1]
+
+    @pl.when(kv_idx == kv_blocks - 1)
+    def _store():
+        o_ref[0, 0] = acc_scratch[...].astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q, k, v, q_segment_ids, kv_segment_ids,
+    *, causal: bool, sm_scale: float, block_q: int, block_k: int,
+):
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+    block_q = min(block_q, Tq)
+    block_k = min(block_k, Tk)
+    if Tq % block_q or Tk % block_k:
+        raise ValueError(f"sequence lengths ({Tq},{Tk}) must divide blocks ({block_q},{block_k})")
+    use_segments = q_segment_ids is not None
+    grid = (B, H, Tq // block_q, Tk // block_k)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki: (b, h, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki: (b, h, ki, 0)),
+    ]
+    args = [q, k, v]
+    if use_segments:
+        in_specs.append(pl.BlockSpec((1, block_q), lambda b, h, qi, ki: (b, qi)))
+        in_specs.append(pl.BlockSpec((1, block_k), lambda b, h, qi, ki: (b, ki)))
+        args += [q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32)]
+    else:
+        # dummy scalars so the kernel signature is stable
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args += [jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)]
+
+    kernel = functools.partial(
+        _flash_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+        kv_blocks=Tk // block_k,
+        use_segments=use_segments,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(*args)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+)
+def _flash_attention(q, k, v, q_segment_ids, kv_segment_ids,
+                     causal, sm_scale, block_q, block_k):
+    return _flash_forward(
+        q, k, v, q_segment_ids, kv_segment_ids,
+        causal=causal, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+    )
+
+
+def _flash_fwd(q, k, v, qs, ks, causal, sm_scale, block_q, block_k):
+    o = _flash_attention(q, k, v, qs, ks, causal, sm_scale, block_q, block_k)
+    return o, (q, k, v, qs, ks)
+
+
+def _flash_bwd(causal, sm_scale, block_q, block_k, res, g):
+    q, k, v, qs, ks = res
+
+    def ref(q, k, v):
+        return mha_reference(
+            q, k, v, causal=causal, segment_ids=qs, kv_segment_ids=ks,
+            sm_scale=sm_scale,
+        )
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Multi-head attention. (B, H, T, D) in, (B, H, Tq, D) out.
+
+    On TPU this runs the Pallas online-softmax kernel; on CPU (tests) it
+    falls back to the XLA reference, which computes the identical function.
+    """
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if segment_ids is not None and kv_segment_ids is None:
+        kv_segment_ids = segment_ids
+    if not use_pallas:
+        return mha_reference(
+            q, k, v, causal=causal, segment_ids=segment_ids,
+            kv_segment_ids=kv_segment_ids, sm_scale=sm_scale,
+        )
+    return _flash_attention(
+        q, k, v, segment_ids, kv_segment_ids, causal, sm_scale, block_q, block_k
+    )
+
+
+# ------------------------------------------------------------------- decode
+def decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    cache_len: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Single-token decode attention over a (B, H, Tmax, D) KV cache.
+
+    Bandwidth-bound; XLA emits a near-roofline fused kernel for this shape,
+    so no Pallas needed. cache_len: (B,) valid lengths (the new token's slot
+    is already written at cache_len-1).
+    """
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhd,bhkd->bhk", q.astype(jnp.float32), k_cache.astype(jnp.float32))
+    s = s * sm_scale
+    Tmax = k_cache.shape[2]
+    mask = jnp.arange(Tmax)[None, :] < cache_len.reshape(-1, 1)
+    s = jnp.where(mask[:, None, :], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhk,bhkd->bhd", p, v_cache.astype(jnp.float32)).astype(q.dtype)
+
+
+def segment_ids_from_cu_seqlens(cu_seqlens, total_len: int) -> jnp.ndarray:
+    """cu_seqlens (reference packing format, qwenvl_base.py:85-97) → per-token
+    segment ids of shape (total_len,). cu_seqlens = [0, l0, l0+l1, ...]."""
+    positions = jnp.arange(total_len)
+    # segment id = number of boundaries <= position
+    return jnp.sum(positions[:, None] >= cu_seqlens[None, 1:-1], axis=-1).astype(jnp.int32)

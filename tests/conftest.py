@@ -3,17 +3,29 @@
 Tests run on a virtual 8-device CPU backend so multi-chip sharding logic is
 exercised without TPU hardware (the driver separately dry-run-compiles the
 multi-chip path via __graft_entry__.dryrun_multichip).
+
+The environment pins JAX_PLATFORMS=axon (one real TPU); plugins may import
+jax before this conftest, so we override via jax.config (effective until
+backend initialization) rather than os.environ alone.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 import numpy as np
 import pytest
@@ -26,6 +38,4 @@ def rng():
 
 @pytest.fixture(scope="session")
 def jax_devices():
-    import jax
-
     return jax.devices()

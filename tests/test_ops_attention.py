@@ -1,0 +1,96 @@
+"""Flash-attention kernel vs XLA reference (Pallas interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from internnav_tpu.ops import (
+    decode_attention,
+    mha_reference,
+    segment_ids_from_cu_seqlens,
+)
+from internnav_tpu.ops.flash_attention import _flash_forward
+
+
+def _rand_qkv(rng, B=2, H=2, T=256, D=64, dtype=np.float32):
+    q = rng.standard_normal((B, H, T, D)).astype(dtype)
+    k = rng.standard_normal((B, H, T, D)).astype(dtype)
+    v = rng.standard_normal((B, H, T, D)).astype(dtype)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def _run_kernel(q, k, v, qs=None, ks=None, causal=False):
+    with pltpu.force_tpu_interpret_mode():
+        return _flash_forward(
+            q, k, v, qs, ks, causal=causal,
+            sm_scale=q.shape[-1] ** -0.5, block_q=128, block_k=128,
+        )
+
+
+def test_flash_full_attention(rng):
+    q, k, v = _rand_qkv(rng)
+    out = _run_kernel(q, k, v, causal=False)
+    ref = mha_reference(q, k, v, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_flash_causal(rng):
+    q, k, v = _rand_qkv(rng)
+    out = _run_kernel(q, k, v, causal=True)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_flash_segment_ids_packing(rng):
+    """Packed sequences must not attend across segment boundaries."""
+    B, H, T, D = 1, 2, 256, 64
+    q, k, v = _rand_qkv(rng, B, H, T, D)
+    cu = jnp.asarray([0, 100, 180, 256])
+    seg = segment_ids_from_cu_seqlens(cu, T)[None]  # (1, T)
+    out = _run_kernel(q, k, v, seg, seg, causal=True)
+    ref = mha_reference(q, k, v, causal=True, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+    # cross-check segment isolation: perturbing segment 0 keys must not
+    # change segment 2 outputs
+    k2 = k.at[:, :, :100].add(10.0)
+    out2 = _run_kernel(q, k2, v, seg, seg, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :, 180:]), np.asarray(out2[:, :, 180:]), atol=1e-5
+    )
+
+
+def test_segment_ids_from_cu_seqlens():
+    seg = segment_ids_from_cu_seqlens(jnp.asarray([0, 3, 5, 8]), 8)
+    np.testing.assert_array_equal(np.asarray(seg), [0, 0, 0, 1, 1, 2, 2, 2])
+
+
+def test_decode_attention_matches_full(rng):
+    """Decode with a cache equals the last row of full causal attention."""
+    B, H, T, D = 2, 2, 64, 32
+    q, k, v = _rand_qkv(rng, B, H, T, D)
+    full = mha_reference(q, k, v, causal=True)
+    Tmax = 80
+    k_cache = jnp.zeros((B, H, Tmax, D)).at[:, :, :T].set(k)
+    v_cache = jnp.zeros((B, H, Tmax, D)).at[:, :, :T].set(v)
+    out = decode_attention(q[:, :, -1], k_cache, v_cache, jnp.full((B,), T))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(full[:, :, -1]), atol=2e-3, rtol=2e-3
+    )
+
+
+def test_flash_backward_runs(rng):
+    q, k, v = _rand_qkv(rng, 1, 1, 128, 32)
+
+    def loss(q, k, v):
+        # CPU fallback path is the reference; grads flow through custom_vjp
+        from internnav_tpu.ops import flash_attention
+
+        return jnp.sum(flash_attention(q, k, v, causal=True) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
