@@ -1,0 +1,209 @@
+"""Trainer: optax + pjit training loop over a device mesh.
+
+Plays the role of the reference's transformers.Trainer subclasses
+(internnav/trainer/base.py:32-123): weight-decay param grouping, periodic
+logging/checkpointing, resume. TPU-native: one jitted train_step with
+donated state, data sharded over the mesh's dp axis, params replicated or
+FSDP-sharded (MeshCfg.param_sharding), optional lax remat.
+
+Checkpoints are orbax-managed (step-numbered, auto-resume from latest),
+the equivalent of HF auto checkpoint resume (internvla_n1_trainer.py:225-229).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from internnav_tpu.configs.trainer import ExpCfg
+from internnav_tpu.parallel.mesh import (
+    data_sharding,
+    fsdp_param_sharding,
+    make_mesh,
+    replicated,
+)
+from internnav_tpu.utils.logging import get_logger
+from internnav_tpu.utils.metric_logger import MetricLogger
+
+
+def make_optimizer(cfg: ExpCfg, total_steps: int) -> optax.GradientTransformation:
+    """AdamW + warmup-cosine/linear decay + global-norm clip, with the
+    reference's no-decay grouping for bias/norm params
+    (trainer/base.py:41-74)."""
+    il = cfg.il
+    warmup = max(int(total_steps * il.warmup_ratio), 1)
+    if il.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(0.0, il.lr, warmup, max(total_steps, warmup + 1))
+    elif il.lr_schedule == "linear":
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, il.lr, warmup),
+             optax.linear_schedule(il.lr, 0.0, max(total_steps - warmup, 1))],
+            [warmup],
+        )
+    else:
+        sched = il.lr
+
+    def decay_mask(params):
+        def is_decay(path, x):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            return name not in ("bias", "b_ih", "b_hh", "scale", "mean", "var", "embedding")
+
+        return jax.tree_util.tree_map_with_path(is_decay, params)
+
+    return optax.chain(
+        optax.clip_by_global_norm(il.max_grad_norm),
+        optax.adamw(sched, weight_decay=il.weight_decay, mask=decay_mask),
+    )
+
+
+class Trainer:
+    """Generic mesh-parallel trainer. Subclasses provide `loss_fn`."""
+
+    def __init__(self, cfg: ExpCfg, policy, dataset: Optional[Iterable] = None,
+                 total_steps: Optional[int] = None):
+        self.cfg = cfg
+        self.policy = policy
+        self.dataset = dataset
+        self.logger = get_logger(cfg.name, cfg.log_dir)
+        self.mesh = make_mesh(cfg.mesh.axes)
+        self.total_steps = total_steps or 1000
+        self.tx = make_optimizer(cfg, self.total_steps)
+        self.metric_logger = MetricLogger()
+        self.step = 0
+
+        # ---- sharding layout
+        if cfg.mesh.param_sharding == "fsdp":
+            self.param_sharding = fsdp_param_sharding(self.mesh, policy.params,
+                                                      axis=cfg.mesh.fsdp_axis)
+        else:
+            rep = replicated(self.mesh)
+            self.param_sharding = jax.tree_util.tree_map(lambda _: rep, policy.params)
+        self.params = jax.device_put(policy.params, self.param_sharding)
+        self.opt_state = self.tx.init(self.params)
+        self._train_step = None
+        self._ckpt_mgr = None
+
+    # ------------------------------------------------------------ loss api
+    def loss_fn(self, params, batch, rng) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        raise NotImplementedError
+
+    # ---------------------------------------------------------- train step
+    def build_train_step(self) -> Callable:
+        if self._train_step is not None:
+            return self._train_step
+
+        def train_step(params, opt_state, batch, rng):
+            (loss, metrics), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, batch, rng
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return params, opt_state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        return self._train_step
+
+    #: which dim of batch arrays is the data-parallel axis (time-major
+    #: (T, N, ...) sequence trainers use 1; flat (B, ...) trainers use 0)
+    batch_axis: int = 0
+
+    def shard_batch(self, batch):
+        axis_name = (self.cfg.mesh.fsdp_axis
+                     if self.cfg.mesh.fsdp_axis in self.mesh.axis_names else "dp")
+        n = self.mesh.shape[axis_name]
+
+        def put(x):
+            if isinstance(x, (np.ndarray, np.generic, jnp.ndarray)):
+                spec = [None] * x.ndim
+                if x.ndim > self.batch_axis and x.shape[self.batch_axis] % n == 0:
+                    spec[self.batch_axis] = axis_name
+                return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+            return x
+
+        return jax.tree_util.tree_map(put, batch)
+
+    # ------------------------------------------------------------ main loop
+    def train(self, resume: bool = True) -> Dict[str, float]:
+        step_fn = self.build_train_step()
+        rng = jax.random.PRNGKey(self.cfg.il.seed)
+        if resume:
+            self.maybe_restore()
+        t0 = time.time()
+        last: Dict[str, float] = {}
+        for batch in self.dataset:
+            if self.step >= self.total_steps:
+                break
+            rng, sub = jax.random.split(rng)
+            batch = self.shard_batch(batch)
+            self.params, self.opt_state, metrics = step_fn(
+                self.params, self.opt_state, batch, sub
+            )
+            self.step += 1
+            if self.step % self.cfg.il.log_interval_steps == 0:
+                last = {k: float(v) for k, v in metrics.items()}
+                self.metric_logger.update(**last)
+                rate = self.step / (time.time() - t0)
+                self.logger.info("step %d/%d %s (%.2f it/s)",
+                                 self.step, self.total_steps, last, rate)
+            if self.step % self.cfg.il.save_interval_steps == 0:
+                self.save_checkpoint()
+        self.save_checkpoint()
+        self.policy.params = self.params
+        return last
+
+    # --------------------------------------------------------- checkpoints
+    def _ckpt_dir(self) -> str:
+        return os.path.abspath(os.path.join(self.cfg.output_dir, self.cfg.checkpoint_folder))
+
+    def _manager(self):
+        if self._ckpt_mgr is None:
+            import orbax.checkpoint as ocp
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                self._ckpt_dir(),
+                options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+            )
+        return self._ckpt_mgr
+
+    def save_checkpoint(self) -> None:
+        import orbax.checkpoint as ocp
+
+        mgr = self._manager()
+        mgr.save(
+            self.step,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardSave(self.params),
+                opt_state=ocp.args.StandardSave(self.opt_state),
+            ),
+        )
+        mgr.wait_until_finished()
+
+    def maybe_restore(self) -> bool:
+        import orbax.checkpoint as ocp
+
+        mgr = self._manager()
+        latest = mgr.latest_step()
+        if latest is None:
+            return False
+        restored = mgr.restore(
+            latest,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardRestore(self.params),
+                opt_state=ocp.args.StandardRestore(self.opt_state),
+            ),
+        )
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.step = latest
+        self.logger.info("resumed from checkpoint step %d", latest)
+        return True
