@@ -1,5 +1,6 @@
 from internnav_tpu.agent.base import Agent, agent_registry
+from internnav_tpu.agent.rdp_agent import RdpAgent
 from internnav_tpu.agent.recurrent_agent import CmaAgent, Seq2SeqAgent
 from internnav_tpu.agent.simple_agent import SimpleAgent
 
-__all__ = ["Agent", "agent_registry", "CmaAgent", "Seq2SeqAgent", "SimpleAgent"]
+__all__ = ["Agent", "agent_registry", "CmaAgent", "Seq2SeqAgent", "SimpleAgent", "RdpAgent"]

@@ -54,7 +54,7 @@ def rdp_cfg() -> ModelCfg:
     return ModelCfg(
         policy_name="RDP_Policy",
         max_step=200,
-        len_traj_act=8,
+        len_traj_act=4,
         text_encoder=TextEncoderCfg(model_name="roberta", hidden_size=768, num_l_layers=6),
         image_encoder=ImageEncoderCfg(
             rgb=ImageEncoderRgbCfg(model_name="clip", feature_dim=768, output_size=512,
@@ -67,9 +67,10 @@ def rdp_cfg() -> ModelCfg:
         progress_monitor=ProgressMonitorCfg(use=True),
         diffusion_policy=DiffusionPolicyCfg(
             use=True, type="transformer", scheduler="ddpm",
-            num_train_timesteps=100, num_inference_timesteps=10,
-            n_layer=6, n_head=8, n_emb=512, horizon=8, len_traj_pred=8,
+            num_train_timesteps=20, num_inference_timesteps=20,
+            n_layer=3, n_head=8, n_emb=512, horizon=8, len_traj_pred=8,
             use_cls_free_guidance=True, cls_free_guidance_scale=1.5,
+            cls_mask_ratio=0.25,
         ),
         num_actions=4,
         learn_angle=True,

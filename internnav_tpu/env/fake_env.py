@@ -118,6 +118,7 @@ class FakeEnv(Env):
                 success_distance=self.success_distance,
                 episode_id=ep.episode_id,
                 trajectory_id=ep.trajectory_id,
+                path_key=ep.path_key,
             )
             slot.metrics.start(slot.pose[:2])
         if all(s.terminated for s in self.slots):

@@ -73,6 +73,7 @@ class VLNPEMetrics:
     success_distance: float = 3.0
     episode_id: str = ""
     trajectory_id: str = ""
+    path_key: str = ""
 
     steps: int = 0
     path_length: float = 0.0
@@ -115,6 +116,7 @@ class VLNPEMetrics:
         return {
             "episode_id": self.episode_id,
             "trajectory_id": self.trajectory_id,
+            "path_key": self.path_key,
             "shortest_path_length": self.geodesic_distance,
             "NE": ne,
             "success": success,

@@ -108,13 +108,13 @@ class VLNBatchedEvaluator(Evaluator):
                     i for i, o in enumerate(obs_list) if o is not None and o.get("done", False)
                 ]
                 for rec in new_results:
+                    key = str(rec.get("path_key") or rec.get("episode_id", ""))
                     self.store.save_eval_result(
-                        key=str(rec.get("episode_id", "")),
+                        key=key,
                         fail_reason=rec.get("fail_reason", ""),
                         info=rec,
                     )
-                    self.progress.end(str(rec.get("episode_id", "")),
-                                      "success" if rec.get("success") else
+                    self.progress.end(key, "success" if rec.get("success") else
                                       (rec.get("fail_reason") or "fail"))
                 results.extend(new_results)
                 prev_count += len(new_results)

@@ -12,6 +12,8 @@ backend initialization) rather than os.environ alone.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# silence XLA's AOT-cache "machine feature" error spam on cache reload
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

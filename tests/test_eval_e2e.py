@@ -85,6 +85,8 @@ def test_eval_resume_skips_done(tmp_path):
     assert m1["num_episodes"] == 3
     # second run: everything resumes from the store, env starts exhausted
     ev2 = VLNBatchedEvaluator(cfg, episodes=make_episodes(3))
+    # resume store must filter all episodes out ("no more episodes")
+    assert len(ev2.env.episodes) == 0
     m2 = ev2.eval()
     assert m2["num_episodes"] == 3
     assert m2["success"] == m1["success"]
