@@ -4,3 +4,6 @@ from internnav_tpu.agent.recurrent_agent import CmaAgent, Seq2SeqAgent
 from internnav_tpu.agent.simple_agent import SimpleAgent
 
 __all__ = ["Agent", "agent_registry", "CmaAgent", "Seq2SeqAgent", "SimpleAgent", "RdpAgent"]
+from internnav_tpu.agent.internvla_n1_agent import InternVLAN1Agent  # noqa: E402
+
+__all__.append("InternVLAN1Agent")

@@ -1,0 +1,222 @@
+"""InternVLA-N1 dual-system agent — async System-2 planner + System-1 actor.
+
+Parity target: reference internnav/agent/internvla_n1_agent.py:21-407:
+- background S2 thread (:133-208) consuming the newest pending request;
+- scheduling policy `should_infer_s2` with modes 'sync' (S2 every macro
+  step) and 'partial_async' (S2 at most once per sys2_max_forward_step=8
+  S1 micro-steps) (:210-241);
+- main thread consumes S2 output: a discrete-action queue, the look-down
+  protocol (action 5 forces a look-down capture + immediate S2 re-infer,
+  :287-295), or a latent → s1_step_latent with the pixel-goal memory frame
+  + current frame (:303-336); depth x10 clamped at 5 m (:327);
+- step budget bookkeeping (:341-371): ≤ sys2_max_forward_step actions per
+  S2 latent, ≤ max_local_steps per S1 call.
+
+Concurrency: the reference's three-lock mailbox is replaced by a proper
+single-producer/single-consumer pair of size-1 queues with explicit
+request ids (SURVEY.md §5.2 flags the manual locks as a known smell).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from internnav_tpu.agent.base import Agent
+from internnav_tpu.configs.agent import AgentCfg
+from internnav_tpu.model.utils.vln_utils import S2Input, S2Output
+
+LOOK_DOWN_ACTION = 5
+
+
+class S2Mailbox:
+    """SPSC mailbox: latest-wins request slot + result slot."""
+
+    def __init__(self):
+        self._req: "queue.Queue[S2Input]" = queue.Queue(maxsize=1)
+        self._res: "queue.Queue[S2Output]" = queue.Queue(maxsize=1)
+
+    def submit(self, item: S2Input) -> None:
+        try:  # latest request wins
+            self._req.get_nowait()
+        except queue.Empty:
+            pass
+        self._req.put(item)
+
+    def take_request(self, timeout: float = 0.1) -> Optional[S2Input]:
+        try:
+            return self._req.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def publish(self, out: S2Output) -> None:
+        try:
+            self._res.get_nowait()
+        except queue.Empty:
+            pass
+        self._res.put(out)
+
+    def poll(self) -> Optional[S2Output]:
+        try:
+            return self._res.get_nowait()
+        except queue.Empty:
+            return None
+
+    def wait(self, timeout: Optional[float] = None) -> Optional[S2Output]:
+        try:
+            return self._res.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+
+@Agent.register("internvla_n1")
+class InternVLAN1Agent(Agent):
+    def __init__(self, cfg: AgentCfg, policy=None):
+        super().__init__(cfg)
+        settings = cfg.model_settings or {}
+        if policy is None:
+            from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Config
+            from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
+
+            n1_cfg = settings.get("config") or InternVLAN1Config.tiny(
+                settings.get("system1", "nextdit_async")
+            )
+            policy = InternVLAN1Policy.build(n1_cfg)
+        self.policy = policy
+        self.mode = settings.get("infer_mode", "partial_async")  # sync | partial_async
+        self.sys2_max_forward_step = int(settings.get("sys2_max_forward_step", 8))
+        self.max_local_steps = int(settings.get("max_local_steps", 4))
+        self.depth_scale = float(settings.get("depth_scale", 10.0))
+        self.depth_clip_m = float(settings.get("depth_clip_m", 5.0))
+        self.continuous_traj = bool(settings.get("continuous_traj", True))
+        self.async_s2 = bool(settings.get("async_s2", True))
+        self.mailbox = S2Mailbox()
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self.reset()
+        if self.async_s2:
+            self._start_s2_thread()
+
+    # ------------------------------------------------------------ lifecycle
+    def reset(self, reset_index: Optional[List[int]] = None) -> None:
+        self.policy.reset()
+        self.action_queue: List[int] = []
+        self.latent = None
+        self.memory_frame: Optional[np.ndarray] = None
+        self.steps_since_s2 = 0
+        self.pending_s2 = False
+        self.force_look_down = False
+        self._req_idx = 0
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def _start_s2_thread(self) -> None:
+        def run():
+            while not self._stop.is_set():
+                req = self.mailbox.take_request(timeout=0.1)
+                if req is None:
+                    continue
+                out = self._infer_s2(req)
+                out.idx = req.idx
+                self.mailbox.publish(out)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    # -------------------------------------------------------------- helpers
+    def _infer_s2(self, req: S2Input) -> S2Output:
+        try:
+            return self.policy.s2_step(req.rgb, req.instruction, look_down=req.look_down)
+        except Exception:
+            # reference retry semantics (:157-189): reset + one retry
+            # without look-down, else synthesize STOP
+            try:
+                self.policy.reset()
+                return self.policy.s2_step(req.rgb, req.instruction, look_down=False)
+            except Exception:
+                return S2Output(output_action=[0])
+
+    def should_infer_s2(self) -> bool:
+        """Reference :210-241."""
+        if self.force_look_down:
+            return True
+        if self.mode == "sync":
+            return len(self.action_queue) == 0
+        # partial_async: re-plan when the budget is exhausted or nothing queued
+        return (
+            (self.steps_since_s2 >= self.sys2_max_forward_step)
+            or (len(self.action_queue) == 0 and self.latent is None)
+        )
+
+    def _preprocess_depth(self, depth: np.ndarray) -> np.ndarray:
+        d = np.asarray(depth, np.float32) * self.depth_scale
+        return np.clip(d, 0.0, self.depth_clip_m)
+
+    def _consume_s2(self, out: S2Output, obs: Dict[str, Any]) -> None:
+        if out.output_action:
+            acts = list(out.output_action)
+            if LOOK_DOWN_ACTION in acts:
+                self.force_look_down = True
+                acts = [a for a in acts if a != LOOK_DOWN_ACTION]
+            self.action_queue.extend(acts)
+            self.latent = None
+        if out.output_latent is not None:
+            self.latent = out.output_latent
+            self.memory_frame = np.asarray(obs["rgb"])
+        self.steps_since_s2 = 0
+
+    def _run_s1(self, obs: Dict[str, Any]) -> None:
+        rgb = np.asarray(obs["rgb"])
+        mem = self.memory_frame if self.memory_frame is not None else rgb
+        rgb2 = np.stack([mem, rgb])[None]
+        depth = obs.get("depth")
+        depth2 = None
+        if depth is not None:
+            d = self._preprocess_depth(depth)
+            if d.ndim == 2:
+                d = d[..., None]
+            depth2 = np.stack([d, d])[None]
+        s1 = self.policy.s1_step_latent(
+            rgb2, depth2, self.latent, continuous_traj=self.continuous_traj
+        )
+        self.action_queue.extend(s1.idx[: self.max_local_steps])
+
+    # ------------------------------------------------------------------ api
+    def step(self, obs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        assert len(obs) == 1, "dual-system agent is single-env (reference parity)"
+        o = obs[0]
+        instruction = o.get("instruction_text") or o.get("instruction", "")
+        if not isinstance(instruction, str):
+            instruction = " ".join(map(str, np.asarray(instruction).ravel().tolist()))
+
+        if self.should_infer_s2():
+            req = S2Input(rgb=np.asarray(o["rgb"]), depth=o.get("depth"),
+                          instruction=instruction, look_down=self.force_look_down,
+                          idx=self._req_idx)
+            self.force_look_down = False
+            if self.async_s2:
+                self.mailbox.submit(req)
+                self.pending_s2 = True
+            else:
+                self._consume_s2(self._infer_s2(req), o)
+
+        if self.async_s2 and self.pending_s2:
+            # block only when we have nothing else to execute
+            timeout = None if (not self.action_queue and self.latent is None) else 0.0
+            res = self.mailbox.wait(timeout) if timeout is None else self.mailbox.poll()
+            if res is not None:
+                self._consume_s2(res, o)
+                self.pending_s2 = False
+
+        if not self.action_queue and self.latent is not None:
+            self._run_s1(o)
+
+        action = self.action_queue.pop(0) if self.action_queue else 0
+        self.steps_since_s2 += 1
+        return [{"action": [int(action)], "ideal_flag": True}]

@@ -1,0 +1,295 @@
+"""InternVLA-N1 dual-system model (Flax).
+
+Parity target: reference internnav/model/basemodel/internvla_n1/
+internvla_n1.py (InternVLAN1ForCausalLM / InternVLAN1Model:1-441) +
+internvla_n1_arch.py (MemoryEncoder:76, QFormer:97, latent_queries,
+cond_projector, action en/decoder):
+
+- System-2: Qwen2.5-VL (qwen_text + qwen_vision here) with latent `traj`
+  query tokens (TRAJ_TOKEN_INDEX) scattered into the input embedding
+  (:166-172) and image tokens scattered at IMAGE_TOKEN_INDEX positions;
+- `generate_latents` (:320-347): after decoding, one extra prefill with
+  the traj-query embeddings appended; returns those positions' last-layer
+  hidden states;
+- `generate_traj` (:349-441): System-1 denoise — NextDiT flow-matching
+  Euler loop with CFG (latents [+ memory tokens from DepthAnything ViT-S +
+  MemoryEncoder + QFormer in the async variant]), or the embedded NavDP
+  DDPM head;
+- training forward (:234-303): flow-matching velocity MSE (nextdit) or
+  DDPM ε MSE (navdp) over traj_hidden_states-conditioned trajectories.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from internnav_tpu.model.basemodel.internvla_n1.navdp_head import NavDPHead
+from internnav_tpu.model.basemodel.internvla_n1.nextdit import NextDiT, NextDiTConfig
+from internnav_tpu.model.basemodel.internvla_n1.qwen_text import (
+    QwenTextConfig,
+    QwenTextModel,
+    greedy_generate,
+)
+from internnav_tpu.model.basemodel.internvla_n1.qwen_vision import (
+    QwenVisionConfig,
+    QwenVisionTower,
+)
+from internnav_tpu.model.encoder.transformer import TransformerEncoderLayer
+from internnav_tpu.model.encoder.vit import DinoViT
+from internnav_tpu.ops.schedulers import FlowMatchEulerScheduler
+
+# token ids (Qwen2.5-VL vocab + reference traj token, internvla_n1.py)
+IMAGE_TOKEN_INDEX = 151655
+TRAJ_TOKEN_INDEX = 151667
+LATENT_EMB_SIZE = 768
+
+
+@dataclasses.dataclass(frozen=True)
+class InternVLAN1Config:
+    text: QwenTextConfig = dataclasses.field(default_factory=QwenTextConfig)
+    vision: QwenVisionConfig = dataclasses.field(default_factory=QwenVisionConfig)
+    system1: str = "nextdit_async"  # nextdit | nextdit_async | navdp_async
+    n_query: int = 4
+    traj_token_index: int = TRAJ_TOKEN_INDEX
+    image_token_index: int = IMAGE_TOKEN_INDEX
+    num_history: int = 8
+    predict_step_nums: int = 32
+
+    @classmethod
+    def tiny(cls, system1: str = "nextdit_async") -> "InternVLAN1Config":
+        return cls(text=QwenTextConfig.tiny(), vision=QwenVisionConfig.tiny(),
+                   system1=system1, n_query=2, predict_step_nums=8)
+
+
+class MemoryEncoder(nn.Module):
+    """3-layer post-norm transformer over 384-d image features
+    (internvla_n1_arch.py:76-95)."""
+
+    hidden_size: int = 384
+    num_heads: int = 6
+    num_layers: int = 3
+    max_len: int = 4096
+
+    @nn.compact
+    def __call__(self, memory, memory_mask=None):
+        pos = self.param("memory_pos", nn.initializers.normal(1.0),
+                         (self.max_len, self.hidden_size))
+        x = memory + pos[None, : memory.shape[1]]
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(self.hidden_size, self.num_heads,
+                                        norm_first=False, name=f"layer_{i}")(
+                x, key_padding_mask=memory_mask)
+        return x
+
+
+class QFormer(nn.Module):
+    """num_query learned queries cross-attending visual features
+    (internvla_n1_arch.py:97-118)."""
+
+    num_query: int = 32
+    hidden_size: int = 768
+    num_layers: int = 3
+    num_heads: int = 12
+
+    @nn.compact
+    def __call__(self, visual_feats, visual_mask=None):
+        from internnav_tpu.model.encoder.transformer import TransformerDecoderLayer
+
+        B = visual_feats.shape[0]
+        q = self.param("query_tokens", nn.initializers.normal(1.0),
+                       (self.num_query, self.hidden_size))
+        qp = self.param("query_pos", nn.initializers.normal(1.0),
+                        (self.num_query, self.hidden_size))
+        x = jnp.broadcast_to((q + qp)[None], (B, self.num_query, self.hidden_size))
+        for i in range(self.num_layers):
+            x = TransformerDecoderLayer(self.hidden_size, self.num_heads,
+                                        name=f"layer_{i}")(
+                x, visual_feats, memory_key_padding_mask=visual_mask)
+        return x
+
+
+class InternVLAN1Model(nn.Module):
+    cfg: InternVLAN1Config
+
+    def setup(self):
+        c = self.cfg
+        self.language_model = QwenTextModel(c.text)
+        self.visual = QwenVisionTower(c.vision)
+        self.latent_queries = self.param(
+            "latent_queries", nn.initializers.normal(1.0),
+            (1, c.n_query, c.text.hidden_size),
+        )
+        if "nextdit" in c.system1:
+            dit_cfg = NextDiTConfig(latent_embedding_size=LATENT_EMB_SIZE) \
+                if c.text.hidden_size > 512 else NextDiTConfig.tiny()
+            self._latent_size = dit_cfg.latent_embedding_size
+            self.traj_dit = NextDiT(dit_cfg)
+            self._dit_dim = dit_cfg.dim
+            self.action_encoder = nn.Dense(dit_cfg.dim)
+            self.action_decoder = nn.Dense(3)
+            self.cond_projector = [nn.Dense(self._latent_size), nn.Dense(self._latent_size)]
+            self.noise_scheduler = FlowMatchEulerScheduler()
+            if "async" in c.system1:
+                rgb_dim = 384 if c.text.hidden_size > 512 else 32
+                self._rgb_dim = rgb_dim
+                self.rgb_model = DinoViT(dim=rgb_dim, depth=12 if rgb_dim == 384 else 2,
+                                         heads=6 if rgb_dim == 384 else 4)
+                self.memory_encoder = MemoryEncoder(hidden_size=rgb_dim,
+                                                    num_heads=6 if rgb_dim == 384 else 4)
+                self.rgb_resampler = QFormer(hidden_size=self._latent_size,
+                                             num_heads=12 if rgb_dim == 384 else 4)
+                self.memory_proj = nn.Dense(self._latent_size)
+        elif "navdp" in c.system1:
+            if c.text.hidden_size > 512:
+                self.navdp = NavDPHead(memory_size=2, vlm_token_dim=c.text.hidden_size)
+            else:
+                self.navdp = NavDPHead(memory_size=2, predict_size=8, temporal_depth=2,
+                                       token_dim=32, heads=4,
+                                       vlm_token_dim=c.text.hidden_size)
+        else:
+            raise ValueError(c.system1)
+
+    # --------------------------------------------------------------- embeds
+    def embed_multimodal(self, input_ids, image_embeds=None):
+        """Token embedding with image + traj-query scatter (reference
+        internvla_n1.py:166-172). input_ids (B, T); image_embeds (N_img, D)
+        in reading order across the batch."""
+        c = self.cfg
+        embeds = self.language_model.embed(jnp.where(
+            input_ids >= c.text.vocab_size, 0, input_ids
+        ))
+        B, T, D = embeds.shape
+        if image_embeds is not None:
+            img_mask = (input_ids == c.image_token_index).reshape(-1)
+            flat = embeds.reshape(B * T, D)
+            # scatter image embeds into image-token slots in order
+            idx = jnp.cumsum(img_mask) - 1
+            gathered = image_embeds[jnp.clip(idx, 0, image_embeds.shape[0] - 1)]
+            flat = jnp.where(img_mask[:, None], gathered.astype(flat.dtype), flat)
+            embeds = flat.reshape(B, T, D)
+        # traj-query scatter
+        traj_mask = input_ids == c.traj_token_index
+        n_q = c.n_query
+        q = self.latent_queries[0]  # (n_query, D)
+        pos_in_run = jnp.where(
+            traj_mask,
+            (jnp.cumsum(traj_mask, axis=1) - 1) % n_q,
+            0,
+        )
+        q_embeds = q[pos_in_run]
+        embeds = jnp.where(traj_mask[..., None], q_embeds.astype(embeds.dtype), embeds)
+        return embeds
+
+    def encode_vision(self, patches, cos, sin, window_segments, full_segments,
+                      window_index, reverse_index):
+        return self.visual(patches, cos, sin, window_segments, full_segments,
+                           window_index, reverse_index)
+
+    def prefill(self, inputs_embeds, position_ids, segment_ids=None,
+                return_cache=False):
+        return self.language_model(inputs_embeds, position_ids,
+                                   segment_ids=segment_ids, return_cache=return_cache)
+
+    # ------------------------------------------------------------ system-1
+    def _project_latents(self, traj_latents):
+        x = self.cond_projector[0](traj_latents)
+        x = nn.gelu(x, approximate=True)
+        return self.cond_projector[1](x)
+
+    def memory_tokens_from_images(self, images_dp):
+        """images_dp: (B, 2, H, W, 3) [pixel-goal frame, current frame],
+        ImageNet-normalized. → (B, 32, latent) QFormer tokens
+        (internvla_n1.py:236-255)."""
+        B, S = images_dp.shape[:2]
+        flat = images_dp.reshape((-1,) + images_dp.shape[2:])
+        feats = self.rgb_model(flat)  # (B*S, P, rgb_dim)
+        feats = feats.reshape(B, -1, feats.shape[-1])  # (B, S*P, rgb_dim)
+        mem = self.memory_encoder(feats)
+        mem = jnp.concatenate([feats, mem], axis=-1)
+        mem = self.memory_proj(mem)
+        return self.rgb_resampler(mem)
+
+    def nextdit_velocity(self, noisy_traj, timestep, z_latents):
+        """action features → DiT → decoded velocity (B, T, 3)."""
+        feats = self.action_encoder(noisy_traj)
+        T = feats.shape[1]
+        pos = _sin_pos_encoding(jnp.arange(T), feats.shape[-1])
+        feats = feats + pos[None]
+        out = self.traj_dit(feats, timestep, z_latents)
+        return self.action_decoder(out)
+
+    def generate_traj_nextdit(self, traj_latents, images_dp=None, *,
+                              rng, guidance_scale: float = 1.0,
+                              num_inference_steps: int = 10,
+                              num_sample_trajs: int = 32,
+                              predict_step_nums: Optional[int] = None):
+        """Flow-matching Euler denoise with CFG (internvla_n1.py:349-441)."""
+        c = self.cfg
+        P = predict_step_nums or c.predict_step_nums
+        lat = self._project_latents(traj_latents)  # (B, n_query, latent)
+        if "async" in c.system1 and images_dp is not None:
+            mem = self.memory_tokens_from_images(images_dp)
+            hidden = jnp.concatenate([mem, lat], axis=1)
+        else:
+            hidden = lat
+        B = hidden.shape[0]
+        null = jnp.zeros_like(hidden)
+        cond2 = jnp.concatenate([null, hidden], axis=0)
+        cond2 = jnp.repeat(cond2, num_sample_trajs, axis=0)
+
+        x_init = jax.random.normal(rng, (B * num_sample_trajs, P, 3))
+
+        def velocity(x, t):
+            x2 = jnp.concatenate([x, x], axis=0)
+            v = self.nextdit_velocity(x2, jnp.broadcast_to(t, (x2.shape[0],)), cond2)
+            v_u, v_c = v[: x.shape[0]], v[x.shape[0]:]
+            return v_u + guidance_scale * (v_c - v_u)
+
+        return self.noise_scheduler.denoise_scan(velocity, x_init, num_inference_steps)
+
+    def generate_traj_navdp(self, traj_latents, images_dp=None, depths_dp=None, *,
+                            rng, sample_num: int = 32, vlm_mask=None):
+        if "async" in self.cfg.system1:
+            return self.navdp.predict_pointgoal_action_async(
+                traj_latents, images_dp, depths_dp, rng, vlm_mask=vlm_mask,
+                sample_num=sample_num,
+            )
+        return self.navdp.predict_pointgoal_action(
+            traj_latents, rng, vlm_mask=vlm_mask, sample_num=sample_num
+        )
+
+    # ------------------------------------------------------------- training
+    def traj_loss_nextdit(self, traj_hidden_states, traj_poses, rng,
+                          images_dp=None, loss_mask=None):
+        """Flow-matching velocity MSE (internvla_n1.py:260-286).
+        traj_hidden_states (B, n_query, D_text); traj_poses (B, P, 3)."""
+        lat = self._project_latents(traj_hidden_states)
+        if "async" in self.cfg.system1 and images_dp is not None:
+            mem = self.memory_tokens_from_images(images_dp)
+            lat = jnp.concatenate([mem, lat], axis=1)
+        B = traj_poses.shape[0]
+        r_t, r_n = jax.random.split(rng)
+        u = jax.random.uniform(r_t, (B,))
+        t = (u * self.noise_scheduler.num_train_timesteps).astype(jnp.int32)
+        noise = jax.random.normal(r_n, traj_poses.shape)
+        noisy = self.noise_scheduler.add_noise(traj_poses, noise, t)
+        v_pred = self.nextdit_velocity(noisy, t.astype(jnp.float32), lat)
+        target = self.noise_scheduler.velocity_target(traj_poses, noise)
+        mse = (v_pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        if loss_mask is not None:
+            w = loss_mask.reshape(B, 1, 1).astype(jnp.float32)
+            return (mse * w).sum() / jnp.maximum(w.sum(), 1e-6) / (mse.shape[1] * mse.shape[2])
+        return mse.mean()
+
+
+def _sin_pos_encoding(positions, dim):
+    half = dim // 2
+    freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half) / half)
+    ang = positions.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)

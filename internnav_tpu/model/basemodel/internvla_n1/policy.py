@@ -1,0 +1,328 @@
+"""InternVLA-N1 inference policy wrapper — System-2 step + System-1 step.
+
+Parity target: reference internnav/model/basemodel/internvla_n1/
+internvla_n1_policy.py (InternVLAN1Net:1-215): maintains rgb/pose history;
+s2_step builds the Qwen chat prompt with history frames sampled via
+np.linspace(0, t-1, num_history) (:130), runs greedy generate (max 128
+tokens) and regex-parses either pixel-goal coordinates or the discrete
+action arrows {STOP, ↑, ←, →, ↓} (:78-85, 184-197); pixel-goal branch runs
+`generate_latents`; s1_step_latent runs `generate_traj` then
+traj_to_actions / chunk_token (:200-215). The conjunction is pinned to
+conjunctions[0] (parity note in SURVEY.md §7 "Non-determinism").
+
+Tokenization: any object with encode(str)->list[int] / decode(list[int])
+works; `SimpleTokenizer` is the dependency-free fallback used by tests
+(real checkpoints use the HF Qwen tokenizer via transformers).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from internnav_tpu.model.basemodel.internvla_n1.model import (
+    InternVLAN1Config,
+    InternVLAN1Model,
+)
+from internnav_tpu.model.basemodel.internvla_n1.qwen_text import greedy_generate
+from internnav_tpu.model.basemodel.internvla_n1.qwen_vision import (
+    preprocess_images,
+    rotary_table,
+    vision_indices,
+)
+from internnav_tpu.model.utils.vln_utils import (
+    S1Output,
+    S2Output,
+    chunk_token,
+    parse_actions,
+    traj_to_actions,
+)
+from internnav_tpu.ops.rope import get_rope_index_25
+
+IM_START, IM_END = "<|im_start|>", "<|im_end|>"
+VISION_START, VISION_END = "<|vision_start|>", "<|vision_end|>"
+
+
+class SimpleTokenizer:
+    """Whitespace tokenizer with Qwen special-token ids — a test stand-in
+    with the same interface as the HF tokenizer."""
+
+    SPECIALS = {
+        "<|im_start|>": 151644, "<|im_end|>": 151645,
+        "<|vision_start|>": 151652, "<|vision_end|>": 151653,
+        "<|image_pad|>": 151655, "<|traj_pad|>": 151667,
+    }
+
+    def __init__(self, vocab_size: int = 151643):
+        self.vocab_size = vocab_size
+        self.eos_token_id = self.SPECIALS["<|im_end|>"]
+        self._cache: Dict[str, int] = {}
+
+    def encode(self, text: str) -> List[int]:
+        pattern = "|".join(re.escape(s) for s in self.SPECIALS)
+        out = []
+        for piece in re.split(f"({pattern})", text):
+            if not piece:
+                continue
+            if piece in self.SPECIALS:
+                out.append(self.SPECIALS[piece])
+            else:
+                for w in piece.split():
+                    out.append(self._cache.setdefault(w, (hash(w) % (self.vocab_size - 10)) + 3))
+        return out
+
+    def decode(self, ids) -> str:
+        inv = {v: k for k, v in self.SPECIALS.items()}
+        return " ".join(inv.get(int(i), f"tok{int(i)}") for i in ids
+                        if int(i) not in (self.eos_token_id,))
+
+
+class InternVLAN1Policy:
+    """Holds (model, params) + host-side prompt/history orchestration."""
+
+    name = "InternVLAN1_Policy"
+    conjunctions = [
+        "you can see ",
+        "in front of you is ",
+        "there is ",
+        "you can spot ",
+        "you are toward the ",
+        "ahead of you is ",
+        "in your sight is ",
+    ]
+    SYSTEM_PROMPT = (
+        "You are an autonomous navigation assistant. Your task is to "
+        "<instruction>. Devise an action sequence to follow the instruction "
+        "using the four actions: TURN LEFT (←) or TURN RIGHT (→) by 15 "
+        "degrees, MOVE FORWARD (↑) by 25 centimeters, or STOP."
+    )
+
+    def __init__(self, model: InternVLAN1Model, params, cfg: InternVLAN1Config,
+                 tokenizer=None):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        # standalone text model sharing the "language_model" params subtree
+        # (setup-defined submodules aren't reachable outside apply)
+        from internnav_tpu.model.basemodel.internvla_n1.qwen_text import QwenTextModel
+
+        self.text_model = QwenTextModel(cfg.text)
+        self.tokenizer = tokenizer or SimpleTokenizer(cfg.text.vocab_size)
+        self.num_history = cfg.num_history
+        self.reset()
+        self._jit_cache: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------ lifecycle
+    @classmethod
+    def build(cls, cfg: Optional[InternVLAN1Config] = None,
+              rng: Optional[jax.Array] = None, image_hw: int = 56) -> "InternVLAN1Policy":
+        cfg = cfg or InternVLAN1Config.tiny()
+        model = InternVLAN1Model(cfg)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        params = cls._init_params(model, cfg, rng, image_hw)
+        return cls(model, params, cfg)
+
+    @staticmethod
+    def _init_params(model, cfg, rng, image_hw):
+        B, T = 1, 8
+        ids = np.full((B, T), 5, np.int64)
+        ids[0, 2] = cfg.image_token_index
+        ids[0, 6] = cfg.traj_token_index
+        pos = jnp.broadcast_to(jnp.arange(T)[None, None], (3, B, T))
+        imgs = np.zeros((1, image_hw, image_hw, 3), np.float32)
+        patches, grid = preprocess_images(imgs, cfg.vision)
+        idx = vision_indices(
+            (cfg.vision.patch_size, cfg.vision.spatial_merge_size, cfg.vision.window_size),
+            tuple(map(tuple, grid.tolist())),
+        )
+        cos, sin = rotary_table(idx["pos_ids"], cfg.vision.hidden_size // cfg.vision.num_heads)
+        s = image_hw
+
+        def init_fn(mdl):
+            img_tokens = mdl.encode_vision(
+                jnp.asarray(patches), jnp.asarray(cos), jnp.asarray(sin),
+                jnp.asarray(idx["window_segments"]), jnp.asarray(idx["full_segments"]),
+                jnp.asarray(idx["window_index"]), jnp.asarray(idx["reverse_index"]),
+            )
+            e = mdl.embed_multimodal(jnp.asarray(ids), img_tokens)
+            logits, hidden, _ = mdl.prefill(e, pos)
+            hs = hidden[:, -cfg.n_query:, :]
+            if "nextdit" in cfg.system1:
+                imdp = jnp.zeros((B, 2, s, s, 3))
+                return mdl.traj_loss_nextdit(
+                    hs, jnp.zeros((B, cfg.predict_step_nums, 3)),
+                    jax.random.PRNGKey(1),
+                    imdp if "async" in cfg.system1 else None,
+                )
+            ddp = jnp.zeros((B, 2, s, s, 1))
+            imdp = jnp.zeros((B, 2, s, s, 3))
+            eps, noise = mdl.navdp.forward_vlm_traj(
+                hs, imdp, ddp, jnp.zeros((B, mdl.navdp.predict_size, 3)),
+                jax.random.PRNGKey(1),
+            )
+            return jnp.mean(eps)
+
+        return model.init(rng, method=init_fn)["params"]
+
+    def reset(self) -> None:
+        self.rgb_list: List[np.ndarray] = []
+        self.pose_list: List[np.ndarray] = []
+        self.episode_idx = 0
+        self.llm_output = ""
+        self.input_images: List[np.ndarray] = []
+        self._rng = jax.random.PRNGKey(0)
+
+    # --------------------------------------------------------------- vision
+    def _encode_images(self, images: np.ndarray):
+        cfg = self.cfg
+        mean = np.asarray([0.48145466, 0.4578275, 0.40821073])
+        std = np.asarray([0.26862954, 0.26130258, 0.27577711])
+        imgs = (np.asarray(images, np.float32) / 255.0 - mean) / std
+        patches, grid = preprocess_images(imgs.astype(np.float32), cfg.vision)
+        idx = vision_indices(
+            (cfg.vision.patch_size, cfg.vision.spatial_merge_size, cfg.vision.window_size),
+            tuple(map(tuple, grid.tolist())),
+        )
+        cos, sin = rotary_table(idx["pos_ids"], cfg.vision.hidden_size // cfg.vision.num_heads)
+        tokens = self.model.apply(
+            {"params": self.params},
+            jnp.asarray(patches), jnp.asarray(cos), jnp.asarray(sin),
+            jnp.asarray(idx["window_segments"]), jnp.asarray(idx["full_segments"]),
+            jnp.asarray(idx["window_index"]), jnp.asarray(idx["reverse_index"]),
+            method=self.model.encode_vision,
+        )
+        return tokens, grid
+
+    # --------------------------------------------------------------- prompt
+    def _tokens_per_image(self, image_hw: Tuple[int, int]) -> int:
+        m, p = self.cfg.vision.spatial_merge_size, self.cfg.vision.patch_size
+        return (image_hw[0] // p // m) * (image_hw[1] // p // m)
+
+    def _build_prompt_ids(self, instruction: str, n_images: int,
+                          image_hw: Tuple[int, int]) -> np.ndarray:
+        """Qwen chat template with expanded image-token runs."""
+        n_img_tok = self._tokens_per_image(image_hw)
+        img_block = VISION_START + "<|image_pad|>" * n_img_tok + VISION_END
+        sys_text = self.SYSTEM_PROMPT.replace("<instruction>", instruction)
+        history = n_images - 1
+        body = sys_text
+        if history > 0:
+            body += " These are your historical observations: " + img_block * history + "."
+        body += f" {self.conjunctions[0]}{img_block}."
+        text = (f"{IM_START}user\n{body}{IM_END}\n{IM_START}assistant\n")
+        return np.asarray(self.tokenizer.encode(text), np.int64)[None]
+
+    # ---------------------------------------------------------------- steps
+    def s2_step(self, image: np.ndarray, instruction: str,
+                look_down: bool = False, max_new_tokens: int = 128) -> S2Output:
+        if not look_down:
+            self.rgb_list.append(np.asarray(image))
+            if self.episode_idx == 0:
+                history_id = []
+            else:
+                history_id = np.unique(
+                    np.linspace(0, self.episode_idx - 1, self.num_history, dtype=np.int32)
+                ).tolist()
+            self.input_images = [self.rgb_list[i] for i in sorted(history_id)] + [self.rgb_list[-1]]
+            self.episode_idx += 1
+        else:
+            self.input_images = self.input_images + [np.asarray(image)]
+
+        images = np.stack(self.input_images)
+        img_tokens, grid = self._encode_images(images)
+        hw = images.shape[1:3]
+        input_ids = self._build_prompt_ids(instruction, len(images), hw)
+        pos_ids, rope_deltas = get_rope_index_25(
+            input_ids, grid,
+            spatial_merge_size=self.cfg.vision.spatial_merge_size,
+            image_token_id=self.cfg.image_token_index,
+        )
+
+        embeds = self.model.apply(
+            {"params": self.params}, jnp.asarray(input_ids), img_tokens,
+            method=self.model.embed_multimodal,
+        )
+        tokens, lengths = greedy_generate(
+            self.text_model,
+            self.params["language_model"],
+            embeds, jnp.asarray(pos_ids),
+            max_new_tokens=max_new_tokens,
+            eos_token_ids=(self.tokenizer.eos_token_id,),
+            rope_deltas=jnp.asarray(rope_deltas[:, 0]),
+        )
+        gen = np.asarray(tokens)[0][: int(np.asarray(lengths)[0])]
+        self.llm_output = self.tokenizer.decode(gen)
+
+        out = S2Output()
+        if re.search(r"\d", self.llm_output):
+            coords = [int(c) for c in re.findall(r"\d+", self.llm_output)]
+            if len(coords) >= 2:
+                out.output_pixel = np.array([coords[1], coords[0]])
+            out.output_latent = self.generate_latents(input_ids, gen, img_tokens, grid)
+        else:
+            out.output_action = parse_actions(self.llm_output)
+        return out
+
+    def generate_latents(self, input_ids: np.ndarray, generated: np.ndarray,
+                         img_tokens, grid) -> jnp.ndarray:
+        """Extra prefill with appended traj-query tokens → last-layer hidden
+        states of the query positions (reference internvla_n1.py:320-347)."""
+        n_q = self.cfg.n_query
+        full = np.concatenate([
+            input_ids[0], np.asarray(generated, np.int64),
+            np.full((n_q,), self.cfg.traj_token_index, np.int64),
+        ])[None]
+        pos_ids, _ = get_rope_index_25(
+            full, grid,
+            spatial_merge_size=self.cfg.vision.spatial_merge_size,
+            image_token_id=self.cfg.image_token_index,
+        )
+
+        def fn(mdl):
+            e = mdl.embed_multimodal(jnp.asarray(full), img_tokens)
+            _, hidden, _ = mdl.prefill(e, jnp.asarray(pos_ids))
+            return hidden[:, -n_q:, :]
+
+        return self.model.apply({"params": self.params}, method=fn)
+
+    def s1_step_latent(self, rgb: np.ndarray, depth: Optional[np.ndarray],
+                       latent, continuous_traj: bool = True,
+                       num_sample_trajs: int = 32) -> S1Output:
+        """rgb: (B, 2, H, W, 3) [memory frame, current]; depth likewise
+        (B, 2, H, W, 1); latent from generate_latents."""
+        self._rng, sub = jax.random.split(self._rng)
+        cfg = self.cfg
+        if "nextdit" in cfg.system1:
+            mean = np.asarray([0.485, 0.456, 0.406])
+            std = np.asarray([0.229, 0.224, 0.225])
+            imdp = (np.asarray(rgb, np.float32) / 255.0 - mean) / std
+
+            def fn(mdl):
+                return mdl.generate_traj_nextdit(
+                    latent, jnp.asarray(imdp, jnp.float32), rng=sub,
+                    num_sample_trajs=num_sample_trajs,
+                )
+
+            dp_actions = self.model.apply({"params": self.params}, method=fn)
+        else:
+            def fn(mdl):
+                return mdl.generate_traj_navdp(
+                    latent, jnp.asarray(rgb, jnp.float32) / 255.0,
+                    jnp.asarray(depth, jnp.float32), rng=sub,
+                    sample_num=num_sample_trajs,
+                )
+
+            dp_actions = self.model.apply({"params": self.params}, method=fn)
+
+        dp = np.asarray(dp_actions)
+        if continuous_traj:
+            action_list = traj_to_actions(dp)
+        else:
+            choice = int(np.asarray(jax.random.randint(sub, (), 0, dp.shape[0])))
+            action_list = chunk_token(dp[choice])
+        action_list = [a for a in action_list if a != 0]
+        return S1Output(idx=action_list[:4], trajectory=dp)

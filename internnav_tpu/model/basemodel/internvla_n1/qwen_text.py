@@ -1,0 +1,303 @@
+"""Qwen2.5 text decoder (Flax) — the InternVLA-N1 System-2 LLM.
+
+Parity target: HF Qwen2_5_VLTextModel as consumed by the reference
+(internnav/model/basemodel/internvla_n1/internvla_n1.py relies on
+Qwen2_5_VLForConditionalGeneration): RMSNorm, SwiGLU MLP, GQA attention
+with q/k/v biases, M-RoPE rotary embeddings (mrope_section over t/h/w
+position streams), tied/untied LM head, greedy decode with KV cache and
+the rope-delta fast path for cached decode (internvla_n1.py:178-204).
+
+TPU-native:
+- prefill runs Pallas flash attention (causal + optional packed segment
+  ids — the trainer's sequence-packing path, SURVEY.md §2.9);
+- decode is a jitted single-token step over a preallocated KV cache
+  (decode_attention), driven by lax.while_loop in `greedy_generate` so the
+  whole generation loop is one XLA program;
+- weights are bf16 by default with fp32 softmax/logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from internnav_tpu.ops.flash_attention import decode_attention, flash_attention
+from internnav_tpu.ops.rope import mrope_cos_sin, rope_cos_sin, rotate_half
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenTextConfig:
+    vocab_size: int = 152064
+    hidden_size: int = 3584
+    intermediate_size: int = 18944
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 28
+    num_key_value_heads: int = 4
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+    mrope_section: Tuple[int, ...] = (16, 24, 24)
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def tiny(cls) -> "QwenTextConfig":
+        """Test-size config (structure-identical)."""
+        return cls(vocab_size=512, hidden_size=64, intermediate_size=128,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, head_dim=16, mrope_section=(2, 3, 3))
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale
+
+
+def apply_rotary(q, k, cos, sin):
+    """q/k: (B, H, T, D); cos/sin: (B, T, D)."""
+    cos = cos[:, None].astype(jnp.float32)
+    sin = sin[:, None].astype(jnp.float32)
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    q_out = qf * cos + rotate_half(qf) * sin
+    k_out = kf * cos + rotate_half(kf) * sin
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+class QwenAttention(nn.Module):
+    cfg: QwenTextConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, *, segment_ids=None, kv_cache=None,
+                 cache_len=None):
+        """Prefill when kv_cache is None: x (B, T, D) → (out, (k, v)).
+        Decode when kv_cache=(k_cache, v_cache) with the new token already
+        rotary-embedded and written at cache_len-1 by the caller; here we
+        compute and return updated caches."""
+        c = self.cfg
+        B = x.shape[0]
+        H, KV, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        q = nn.Dense(H * D, use_bias=True, dtype=c.dtype, name="q_proj")(x)
+        k = nn.Dense(KV * D, use_bias=True, dtype=c.dtype, name="k_proj")(x)
+        v = nn.Dense(KV * D, use_bias=True, dtype=c.dtype, name="v_proj")(x)
+
+        if kv_cache is None:
+            T = x.shape[1]
+            q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+            k = k.reshape(B, T, KV, D).transpose(0, 2, 1, 3)
+            v = v.reshape(B, T, KV, D).transpose(0, 2, 1, 3)
+            q, k = apply_rotary(q, k, cos, sin)
+            k_rep = jnp.repeat(k, H // KV, axis=1)
+            v_rep = jnp.repeat(v, H // KV, axis=1)
+            out = flash_attention(q, k_rep, v_rep, causal=True,
+                                  segment_ids=segment_ids)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, H * D)
+            new_cache = (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))  # (B,T,KV,D)
+        else:
+            # decode: x is (B, 1, D)
+            k_cache, v_cache = kv_cache
+            q = q.reshape(B, 1, H, D).transpose(0, 2, 1, 3)
+            k = k.reshape(B, 1, KV, D).transpose(0, 2, 1, 3)
+            q, k = apply_rotary(q, k, cos, sin)
+            pos = cache_len  # (B,) index of the new slot
+            k_cache = _write_cache(k_cache, k.transpose(0, 2, 1, 3)[:, 0], pos)
+            v_cache = _write_cache(v_cache, v.reshape(B, 1, KV, D)[:, 0], pos)
+            # GQA decode: fold kv heads
+            k_full = jnp.repeat(k_cache.transpose(0, 2, 1, 3), H // KV, axis=1)
+            v_full = jnp.repeat(v_cache.transpose(0, 2, 1, 3), H // KV, axis=1)
+            out = decode_attention(q[:, :, 0], k_full, v_full, pos + 1)
+            out = out.reshape(B, 1, H * D)
+            new_cache = (k_cache, v_cache)
+        out = nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype, name="o_proj")(out)
+        return out, new_cache
+
+
+def _write_cache(cache, new_kv, pos):
+    """cache (B, Tmax, KV, D); new_kv (B, KV, D); pos (B,)."""
+    B = cache.shape[0]
+    return cache.at[jnp.arange(B), pos].set(new_kv.astype(cache.dtype))
+
+
+class QwenMLP(nn.Module):
+    cfg: QwenTextConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=c.dtype, name="gate_proj")(x)
+        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=c.dtype, name="up_proj")(x)
+        return nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype, name="down_proj")(
+            nn.silu(gate) * up
+        )
+
+
+class QwenDecoderLayer(nn.Module):
+    cfg: QwenTextConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, *, segment_ids=None, kv_cache=None, cache_len=None):
+        h, new_cache = QwenAttention(self.cfg, name="self_attn")(
+            RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x),
+            cos, sin, segment_ids=segment_ids, kv_cache=kv_cache, cache_len=cache_len,
+        )
+        x = x + h
+        y = QwenMLP(self.cfg, name="mlp")(
+            RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x)
+        )
+        return x + y, new_cache
+
+
+class QwenTextModel(nn.Module):
+    """Decoder trunk. __call__ = prefill; `decode_step` = cached decode."""
+
+    cfg: QwenTextConfig
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size,
+                                     dtype=c.dtype, name="embed_tokens")
+        self.layers = [QwenDecoderLayer(c, name=f"layers_{i}")
+                       for i in range(c.num_hidden_layers)]
+        self.norm = RMSNorm(c.rms_norm_eps, name="norm")
+        if not c.tie_word_embeddings:
+            self.lm_head = nn.Dense(c.vocab_size, use_bias=False, dtype=c.dtype,
+                                    name="lm_head")
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids.astype(jnp.int32))
+
+    def init_all(self, input_ids, position_ids):
+        """Init entry that touches every parameter (embed + trunk + head)."""
+        embeds = self.embed(input_ids)
+        logits, hidden, _ = self(embeds, position_ids, return_cache=True)
+        return logits
+
+    def _cos_sin(self, position_ids):
+        c = self.cfg
+        if position_ids.ndim == 3:  # (3, B, T) M-RoPE
+            return mrope_cos_sin(position_ids, c.head_dim, c.mrope_section,
+                                 c.rope_theta, dtype=jnp.float32)
+        return rope_cos_sin(position_ids, c.head_dim, c.rope_theta, dtype=jnp.float32)
+
+    def __call__(self, inputs_embeds, position_ids, *, segment_ids=None,
+                 return_cache=False, output_hidden_states=False):
+        """Prefill. inputs_embeds (B, T, D); position_ids (3, B, T) or (B, T).
+        Returns (logits, hidden, caches) — caches are per-layer (k, v) with
+        layout (B, T, KV, D)."""
+        cos, sin = self._cos_sin(position_ids)
+        x = inputs_embeds
+        caches = []
+        for layer in self.layers:
+            x, cache = layer(x, cos, sin, segment_ids=segment_ids)
+            caches.append(cache)
+        hidden = self.norm(x)
+        logits = self._logits(hidden)
+        return logits, hidden, (caches if return_cache else None)
+
+    def _logits(self, hidden):
+        if self.cfg.tie_word_embeddings:
+            table = self.embed_tokens.embedding
+            return (hidden.astype(jnp.float32) @ table.T.astype(jnp.float32))
+        return self.lm_head(hidden).astype(jnp.float32)
+
+    def decode_step(self, token_embeds, position_ids, caches, cache_len):
+        """One cached decode step. token_embeds (B, 1, D); position_ids
+        (3, B, 1) or (B, 1); caches: list of (k, v) (B, Tmax, KV, D);
+        cache_len (B,) current lengths (new token goes at cache_len).
+        Returns (logits (B, vocab), new caches)."""
+        cos, sin = self._cos_sin(position_ids)
+        x = token_embeds
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x, c2 = layer(x, cos, sin, kv_cache=cache, cache_len=cache_len)
+            new_caches.append(c2)
+        hidden = self.norm(x)
+        return self._logits(hidden)[:, 0], new_caches
+
+
+def pad_caches(caches, max_len: int):
+    """Extend prefill caches (B, T, KV, D) to (B, max_len, KV, D)."""
+    out = []
+    for k, v in caches:
+        pad = [(0, 0), (0, max_len - k.shape[1]), (0, 0), (0, 0)]
+        out.append((jnp.pad(k, pad), jnp.pad(v, pad)))
+    return out
+
+
+def greedy_generate(
+    model: QwenTextModel,
+    params,
+    inputs_embeds: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    *,
+    max_new_tokens: int = 128,
+    eos_token_ids: Tuple[int, ...] = (151645,),
+    rope_deltas: Optional[jnp.ndarray] = None,
+    extra_embeds_fn=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy decoding as one jitted program.
+
+    Returns (tokens (B, max_new_tokens) with EOS-padding, lengths (B,)).
+    rope_deltas: (B,) M-RoPE decode-position offset (HF rope-delta fast
+    path) — decode position = seq_len + delta + step, same for all three
+    streams (internvla_n1.py:178-204 semantics).
+    """
+    B, T, _ = inputs_embeds.shape
+    mrope = position_ids.ndim == 3
+    if rope_deltas is None:
+        if mrope:
+            rope_deltas = position_ids.max(axis=(0, 2)) + 1 - T
+        else:
+            rope_deltas = jnp.zeros((B,), jnp.int32)
+
+    def apply(fn_name, *args):
+        return model.apply({"params": params}, *args, method=getattr(model, fn_name))
+
+    logits, _, caches = model.apply(
+        {"params": params}, inputs_embeds, position_ids, return_cache=True,
+        method=model.__call__,
+    )
+    caches = pad_caches(caches, T + max_new_tokens)
+    first_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    eos = jnp.asarray(eos_token_ids)
+
+    def body(state):
+        step, tokens, caches, done = state
+        cur = tokens[:, step]
+        embeds = model.apply({"params": params}, cur[:, None], method=model.embed)
+        pos1 = (T + rope_deltas + step).astype(jnp.int32)[None, :]  # (1, B)
+        if mrope:
+            pos = jnp.broadcast_to(pos1[..., None], (3, B, 1))
+        else:
+            pos = pos1.reshape(B, 1)
+        cache_len = jnp.full((B,), T + step, jnp.int32)
+        logits, caches = model.apply(
+            {"params": params}, embeds, pos, caches, cache_len,
+            method=model.decode_step,
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        done = done | jnp.isin(cur, eos)
+        nxt = jnp.where(done, eos[0], nxt)
+        tokens = tokens.at[:, step + 1].set(nxt)
+        return step + 1, tokens, caches, done
+
+    def cond(state):
+        step, tokens, _, done = state
+        return (step < max_new_tokens - 1) & (~done.all())
+
+    tokens0 = jnp.full((B, max_new_tokens), eos[0], jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(first_tok)
+    done0 = jnp.zeros((B,), bool)
+    _, tokens, caches, _ = jax.lax.while_loop(cond, body, (0, tokens0, caches, done0))
+    lengths = jnp.argmax(jnp.isin(tokens, eos), axis=1)
+    lengths = jnp.where(jnp.isin(tokens, eos).any(axis=1), lengths, max_new_tokens)
+    return tokens, lengths
