@@ -63,8 +63,14 @@ class InternVLAN1Config:
 
     @classmethod
     def tiny(cls, system1: str = "nextdit_async") -> "InternVLAN1Config":
-        return cls(text=QwenTextConfig.tiny(), vision=QwenVisionConfig.tiny(),
-                   system1=system1, n_query=2, predict_step_nums=8)
+        tc = QwenTextConfig.tiny()
+        # compact special ids at the top of the tiny vocab (matches
+        # SimpleTokenizer's tiny-vocab layout)
+        n_special = 6
+        base = tc.vocab_size - n_special
+        return cls(text=tc, vision=QwenVisionConfig.tiny(),
+                   system1=system1, n_query=2, predict_step_nums=8,
+                   image_token_index=base + 4, traj_token_index=base + 5)
 
 
 class MemoryEncoder(nn.Module):

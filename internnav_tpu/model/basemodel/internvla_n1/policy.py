@@ -51,14 +51,22 @@ class SimpleTokenizer:
     """Whitespace tokenizer with Qwen special-token ids — a test stand-in
     with the same interface as the HF tokenizer."""
 
-    SPECIALS = {
+    QWEN_SPECIALS = {
         "<|im_start|>": 151644, "<|im_end|>": 151645,
         "<|vision_start|>": 151652, "<|vision_end|>": 151653,
         "<|image_pad|>": 151655, "<|traj_pad|>": 151667,
     }
 
-    def __init__(self, vocab_size: int = 151643):
+    def __init__(self, vocab_size: int = 151680):
         self.vocab_size = vocab_size
+        if vocab_size > max(self.QWEN_SPECIALS.values()):
+            self.SPECIALS = dict(self.QWEN_SPECIALS)
+        else:
+            # tiny-vocab configs: compact special ids at the top of the vocab
+            self.SPECIALS = {
+                name: vocab_size - len(self.QWEN_SPECIALS) + i
+                for i, name in enumerate(self.QWEN_SPECIALS)
+            }
         self.eos_token_id = self.SPECIALS["<|im_end|>"]
         self._cache: Dict[str, int] = {}
 

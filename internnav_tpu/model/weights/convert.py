@@ -1,0 +1,278 @@
+"""Torch → Flax weight conversion for the model zoo.
+
+Covers the reference checkpoint formats (SURVEY.md §5.4: HF-format dirs of
+safetensors / pytorch_model.bin with tolerant partial loading):
+- Qwen2.5-VL (System-2): HF `Qwen2_5_VLForConditionalGeneration` state
+  dict → internnav_tpu QwenTextModel + QwenVisionTower param trees;
+- torchvision ResNets (CMA/Seq2Seq RGB towers);
+- DD-PPO GroupNorm ResNet (depth towers);
+- DINOv2 ViT-S (DepthAnything trunks);
+- generic torch GRU/LSTM/Linear/Conv layers.
+
+Conventions: torch Linear (out, in) → flax kernel (in, out); torch Conv2d
+(O, I, kh, kw) → flax (kh, kw, I, O); RNN gate layouts already match the
+torch order (ops/rnn.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+
+# ------------------------------------------------------------- file loading
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load safetensors / pytorch .bin / .pth into numpy (reference
+    from_pretrained fallback order, cma_policy.py:85-110)."""
+    if os.path.isdir(path):
+        for name in ("model.safetensors", "pytorch_model.bin", "model.pth"):
+            p = os.path.join(path, name)
+            if os.path.exists(p):
+                path = p
+                break
+        else:
+            # sharded safetensors
+            shards = sorted(
+                f for f in os.listdir(path) if f.endswith(".safetensors")
+            )
+            if shards:
+                out: Dict[str, np.ndarray] = {}
+                for s in shards:
+                    out.update(load_torch_state_dict(os.path.join(path, s)))
+                return out
+            raise FileNotFoundError(f"no weights found in {path}")
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.detach().to(torch.float32).numpy() for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+# ------------------------------------------------------------------ helpers
+def t_linear(sd, name, dest, params, bias=True):
+    params[dest + "/kernel"] = np.ascontiguousarray(sd[name + ".weight"].T)
+    if bias and name + ".bias" in sd:
+        params[dest + "/bias"] = sd[name + ".bias"]
+
+
+def t_conv(sd, name, dest, params, bias=False):
+    w = sd[name + ".weight"]
+    params[dest + "/kernel"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+    if bias and name + ".bias" in sd:
+        params[dest + "/bias"] = sd[name + ".bias"]
+
+
+def t_norm(sd, name, dest, params, scale_name="scale", bias_name="bias"):
+    if name + ".weight" in sd:
+        params[dest + f"/{scale_name}"] = sd[name + ".weight"]
+    if name + ".bias" in sd:
+        params[dest + f"/{bias_name}"] = sd[name + ".bias"]
+
+
+def t_rmsnorm(sd, name, dest, params):
+    params[dest + "/scale"] = sd[name + ".weight"]
+
+
+def unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for path, v in flat.items():
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(v)
+    return tree
+
+
+# --------------------------------------------------------------- Qwen2.5-VL
+def convert_qwen25vl_text(sd: Dict[str, np.ndarray], prefix: str = "model.language_model.") -> Dict:
+    """HF Qwen2_5_VLTextModel state dict → QwenTextModel params.
+
+    HF ≥4.52 layout: model.language_model.layers.N..., lm_head at top level.
+    Older layout (model.layers.N...) also accepted via prefix.
+    """
+    if not any(k.startswith(prefix) for k in sd):
+        prefix = "model."
+    p: Dict[str, np.ndarray] = {}
+    p["embed_tokens/embedding"] = sd[prefix + "embed_tokens.weight"]
+    n_layers = 0
+    while f"{prefix}layers.{n_layers}.self_attn.q_proj.weight" in sd:
+        n_layers += 1
+    for i in range(n_layers):
+        src = f"{prefix}layers.{i}."
+        dst = f"layers_{i}/"
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            t_linear(sd, src + "self_attn." + proj, dst + "self_attn/" + proj, p)
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            t_linear(sd, src + "mlp." + proj, dst + "mlp/" + proj, p)
+        t_rmsnorm(sd, src + "input_layernorm", dst + "input_layernorm", p)
+        t_rmsnorm(sd, src + "post_attention_layernorm", dst + "post_attention_layernorm", p)
+    t_rmsnorm(sd, prefix + "norm", "norm", p)
+    if "lm_head.weight" in sd:
+        t_linear(sd, "lm_head", "lm_head", p, bias=False)
+    return unflatten(p)
+
+
+def convert_qwen25vl_vision(sd: Dict[str, np.ndarray], prefix: str = "model.visual.") -> Dict:
+    """HF Qwen2_5_VisionTransformer state dict → QwenVisionTower params."""
+    if not any(k.startswith(prefix) for k in sd):
+        prefix = "visual."
+    p: Dict[str, np.ndarray] = {}
+    # patch_embed: HF conv3d (O, I, t, h, w) → our Dense over flattened patch
+    w = sd[prefix + "patch_embed.proj.weight"]
+    O = w.shape[0]
+    p["patch_embed/kernel"] = np.ascontiguousarray(w.reshape(O, -1).T)
+    n = 0
+    while f"{prefix}blocks.{n}.attn.qkv.weight" in sd:
+        n += 1
+    for i in range(n):
+        src = f"{prefix}blocks.{i}."
+        dst = f"blocks_{i}/"
+        t_linear(sd, src + "attn.qkv", dst + "qkv", p)
+        t_linear(sd, src + "attn.proj", dst + "proj", p)
+        t_rmsnorm(sd, src + "norm1", dst + "norm1", p)
+        t_rmsnorm(sd, src + "norm2", dst + "norm2", p)
+        t_linear(sd, src + "mlp.gate_proj", dst + "gate_proj", p)
+        t_linear(sd, src + "mlp.up_proj", dst + "up_proj", p)
+        t_linear(sd, src + "mlp.down_proj", dst + "down_proj", p)
+    t_rmsnorm(sd, prefix + "merger.ln_q", "merger_ln_q", p)
+    t_linear(sd, prefix + "merger.mlp.0", "merger_fc1", p)
+    t_linear(sd, prefix + "merger.mlp.2", "merger_fc2", p)
+    return unflatten(p)
+
+
+def convert_qwen25vl(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    return {
+        "language_model": convert_qwen25vl_text(sd),
+        "visual": convert_qwen25vl_vision(sd),
+    }
+
+
+# --------------------------------------------------------- torchvision CNNs
+_TV_LAYERS = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
+              "resnet50": (3, 4, 6, 3)}
+
+
+def convert_torchvision_resnet(sd: Dict[str, np.ndarray], version: str = "resnet50",
+                               prefix: str = "") -> Dict:
+    """torchvision ResNet state dict → TorchVisionResNet params (frozen BN:
+    running stats land in mean/var)."""
+    bottleneck = version == "resnet50"
+    layers = _TV_LAYERS[version]
+    p: Dict[str, np.ndarray] = {}
+
+    def bn(src, dst):
+        p[dst + "/scale"] = sd[src + ".weight"]
+        p[dst + "/bias"] = sd[src + ".bias"]
+        p[dst + "/mean"] = sd[src + ".running_mean"]
+        p[dst + "/var"] = sd[src + ".running_var"]
+
+    t_conv(sd, prefix + "conv1", "stem_conv", p)
+    bn(prefix + "bn1", "stem_bn")
+    n_convs = 3 if bottleneck else 2
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            src = f"{prefix}layer{stage + 1}.{b}."
+            dst = f"layer{stage + 1}_{b}/"
+            for ci in range(1, n_convs + 1):
+                t_conv(sd, src + f"conv{ci}", dst + f"conv{ci}", p)
+                bn(src + f"bn{ci}", dst + f"bn{ci}")
+            if src + "downsample.0.weight" in sd:
+                t_conv(sd, src + "downsample.0", dst + "ds_conv", p)
+                bn(src + "downsample.1", dst + "ds_bn")
+    return unflatten(p)
+
+
+# --------------------------------------------------- habitat GN ResNet (depth)
+def convert_habitat_resnet_encoder(sd: Dict[str, np.ndarray], prefix: str = "",
+                                   layers=(3, 4, 6, 3), bottleneck=True) -> Dict:
+    """DD-PPO visual_encoder state dict → HabitatResNetEncoder params.
+
+    Torch layout (reference resnet.py): backbone.conv1.0 conv / .1 GN;
+    blocks as backbone.layerL.B.convs.{0,1,3,4,6,7} conv/GN (+ downsample),
+    compression.0 conv / compression.1 GN.
+    """
+    p: Dict[str, np.ndarray] = {}
+
+    def gn(src, dst):
+        p[dst + "/scale"] = sd[src + ".weight"]
+        p[dst + "/bias"] = sd[src + ".bias"]
+
+    t_conv(sd, prefix + "backbone.conv1.0", "backbone/stem_conv", p)
+    gn(prefix + "backbone.conv1.1", "backbone/stem_gn")
+    # torch Sequential inside block interleaves conv/gn/relu → indices
+    torch_conv_idx = (0, 3, 6) if bottleneck else (0, 3)
+    torch_gn_idx = (1, 4, 7) if bottleneck else (1, 4)
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            src = f"{prefix}backbone.layer{stage + 1}.{b}."
+            dst = f"backbone/layer{stage + 1}_{b}/"
+            for ci, (tc, tg) in enumerate(zip(torch_conv_idx, torch_gn_idx), start=1):
+                t_conv(sd, src + f"convs.{tc}", dst + f"conv{ci}", p)
+                gn(src + f"convs.{tg}", dst + f"gn{ci}")
+            if src + "downsample.0.weight" in sd:
+                t_conv(sd, src + "downsample.0", dst + "ds_conv", p)
+                gn(src + "downsample.1", dst + "ds_gn")
+    t_conv(sd, prefix + "compression.0", "compress_conv", p)
+    gn(prefix + "compression.1", "compress_gn")
+    return unflatten(p)
+
+
+# -------------------------------------------------------------- DINOv2 ViT-S
+def convert_dinov2_vits(sd: Dict[str, np.ndarray], prefix: str = "pretrained.") -> Dict:
+    """DepthAnythingV2 `.pretrained` DINOv2 trunk → DinoViT params."""
+    if not any(k.startswith(prefix) for k in sd):
+        prefix = ""
+    p: Dict[str, np.ndarray] = {}
+    p["cls_token"] = sd[prefix + "cls_token"]
+    p["pos_embed"] = sd[prefix + "pos_embed"]
+    t_conv(sd, prefix + "patch_embed.proj", "patch_embed", p, bias=True)
+    n = 0
+    while f"{prefix}blocks.{n}.attn.qkv.weight" in sd:
+        n += 1
+    for i in range(n):
+        src = f"{prefix}blocks.{i}."
+        dst = f"block_{i}/"
+        qkv_w = sd[src + "attn.qkv.weight"]  # (3D, D)
+        qkv_b = sd[src + "attn.qkv.bias"]
+        D = qkv_w.shape[1]
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            p[dst + f"attn/{name}/kernel"] = np.ascontiguousarray(
+                qkv_w[j * D : (j + 1) * D].T)
+            p[dst + f"attn/{name}/bias"] = qkv_b[j * D : (j + 1) * D]
+        t_linear(sd, src + "attn.proj", dst + "attn/out_proj", p)
+        p[dst + "norm1/scale"] = sd[src + "norm1.weight"]
+        p[dst + "norm1/bias"] = sd[src + "norm1.bias"]
+        p[dst + "norm2/scale"] = sd[src + "norm2.weight"]
+        p[dst + "norm2/bias"] = sd[src + "norm2.bias"]
+        t_linear(sd, src + "mlp.fc1", dst + "mlp_fc1", p)
+        t_linear(sd, src + "mlp.fc2", dst + "mlp_fc2", p)
+        p[dst + "ls1"] = sd[src + "ls1.gamma"]
+        p[dst + "ls2"] = sd[src + "ls2.gamma"]
+    if prefix + "norm.weight" in sd:
+        p["norm/scale"] = sd[prefix + "norm.weight"]
+        p["norm/bias"] = sd[prefix + "norm.bias"]
+    return unflatten(p)
+
+
+# ------------------------------------------------------------------ generic
+def convert_gru(sd: Dict[str, np.ndarray], name: str) -> Dict[str, np.ndarray]:
+    """torch GRU/LSTM layer-0 weights → ops.rnn param dict (same gate order)."""
+    return {
+        "w_ih": sd[name + ".weight_ih_l0"],
+        "w_hh": sd[name + ".weight_hh_l0"],
+        "b_ih": sd[name + ".bias_ih_l0"],
+        "b_hh": sd[name + ".bias_hh_l0"],
+    }

@@ -140,6 +140,7 @@ class Trainer:
             self.maybe_restore()
         t0 = time.time()
         last: Dict[str, float] = {}
+        last_metrics = None
         for batch in self.dataset:
             if self.step >= self.total_steps:
                 break
@@ -150,6 +151,7 @@ class Trainer:
             )
             self.step += 1
             if self.step % self.cfg.il.log_interval_steps == 0:
+                # device sync only at log points (keeps steps async otherwise)
                 last = {k: float(v) for k, v in metrics.items()}
                 self.metric_logger.update(**last)
                 rate = self.step / (time.time() - t0)
@@ -157,6 +159,9 @@ class Trainer:
                                  self.step, self.total_steps, last, rate)
             if self.step % self.cfg.il.save_interval_steps == 0:
                 self.save_checkpoint()
+            last_metrics = metrics
+        if last_metrics is not None:
+            last = {k: float(v) for k, v in last_metrics.items()}
         self.save_checkpoint()
         self.policy.params = self.params
         return last

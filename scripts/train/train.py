@@ -1,0 +1,81 @@
+"""Small-model training driver.
+
+Reference parity: scripts/train/base_train/train.py:75-325 (tyro CLI with
+name/model_name, dataset selection, trainer dispatch). tyro isn't
+installed; argparse provides the same surface. Config files are python
+modules exposing `exp_cfg` (an ExpCfg), like the eval configs.
+
+Usage:
+    python scripts/train/train.py --name cma_train --model-name cma \
+        --store data/trajectories.bin --steps 1000 --batch-size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--name", default="exp")
+    ap.add_argument("--model-name", default="cma",
+                    choices=["cma", "seq2seq", "rdp", "navdp"])
+    ap.add_argument("--config", default=None, help="python file exposing exp_cfg")
+    ap.add_argument("--store", required=False, help="trajectory store path")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--fsdp", action="store_true", help="FSDP param sharding")
+    ap.add_argument("--resume", action="store_true", default=True)
+    args = ap.parse_args()
+
+    from internnav_tpu.configs import load_py_config
+    from internnav_tpu.configs.trainer import ExpCfg, MeshCfg
+    from internnav_tpu.dataset.base import Prefetcher, repeat_forever
+    from internnav_tpu.model import get_config, get_policy
+
+    if args.config:
+        cfg: ExpCfg = load_py_config(args.config, attr="exp_cfg")
+    else:
+        cfg = ExpCfg(name=args.name, model_name=args.model_name,
+                     model=get_config(args.model_name))
+    if args.lr:
+        cfg.il.lr = args.lr
+    cfg.il.batch_size = args.batch_size
+    if args.fsdp:
+        cfg.mesh = MeshCfg(axes={"dp": -1}, param_sharding="fsdp")
+
+    policy = get_policy(cfg.model_name).build(cfg.model)
+
+    if cfg.model_name in ("cma", "seq2seq"):
+        from internnav_tpu.dataset.vln_dataset import make_vln_dataloader
+        from internnav_tpu.trainer.cma_trainer import CMATrainer, Seq2SeqTrainer
+
+        make_epoch = make_vln_dataloader(args.store, cfg.il.batch_size)
+        trainer_cls = CMATrainer if cfg.model_name == "cma" else Seq2SeqTrainer
+    elif cfg.model_name == "rdp":
+        from internnav_tpu.dataset.rdp_dataset import make_rdp_dataloader
+        from internnav_tpu.trainer.rdp_trainer import RDPTrainer
+
+        make_epoch = make_rdp_dataloader(args.store, cfg.il.batch_size)
+        trainer_cls = RDPTrainer
+    else:
+        from internnav_tpu.dataset.navdp_dataset import make_navdp_dataloader
+        from internnav_tpu.trainer.navdp_trainer import NavDPTrainer
+
+        make_epoch = make_navdp_dataloader(args.store, cfg.il.batch_size)
+        trainer_cls = NavDPTrainer
+
+    data = Prefetcher(repeat_forever(make_epoch))
+    trainer = trainer_cls(cfg, policy, dataset=data, total_steps=args.steps)
+    metrics = trainer.train(resume=args.resume)
+    print("final:", metrics)
+    policy.save_pretrained(f"{cfg.output_dir}/{cfg.name}_final")
+
+
+if __name__ == "__main__":
+    main()

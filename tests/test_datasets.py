@@ -1,0 +1,119 @@
+"""Dataset pipeline tests: stores, sampling, collation, packing."""
+
+import numpy as np
+import pytest
+
+from internnav_tpu.dataset.base import Prefetcher, inflection_weights
+from internnav_tpu.dataset.internvla_n1_dataset import (
+    N1SampleDataset,
+    n1_collate_fn,
+    n1_packed_collate_fn,
+    relative_traj,
+    tokenize_sample,
+    write_synthetic_n1_dataset,
+    IGNORE_INDEX,
+)
+from internnav_tpu.dataset.rdp_dataset import (
+    make_rdp_dataloader,
+    write_synthetic_rdp_dataset,
+)
+from internnav_tpu.dataset.vln_dataset import (
+    VLNSampleDataset,
+    cma_collate_fn,
+    make_vln_dataloader,
+    write_synthetic_dataset,
+)
+
+
+def test_inflection_weights():
+    w = inflection_weights(np.asarray([1, 1, 2, 2, 2, 0]), coef=3.2)
+    np.testing.assert_allclose(w, [3.2, 1, 3.2, 1, 1, 3.2])
+
+
+def test_vln_dataset_and_collate(tmp_path):
+    path = write_synthetic_dataset(str(tmp_path / "store.bin"), n_episodes=5, T=10, hw=32)
+    make_epoch = make_vln_dataloader(path, batch_size=2, instr_pad_len=50)
+    batches = list(make_epoch())
+    assert len(batches) == 2  # 5 episodes, batch 2, drop_last
+    b = batches[0]
+    T, N = b["corrected_actions"].shape
+    assert N == 2
+    assert b["observations"]["rgb"].shape[:2] == (T, N)
+    assert b["observations"]["instruction"].shape == (T, N, 50)
+    assert (b["masks"][0] == 0).all()  # episode start
+    # padding steps have zero weight
+    lengths = (b["weights"] > 0).sum(0)
+    assert (lengths <= T).all() and (lengths > 0).all()
+
+
+def test_vln_rank_sharding(tmp_path):
+    path = write_synthetic_dataset(str(tmp_path / "s.bin"), n_episodes=6, T=8, hw=16)
+    d0 = VLNSampleDataset(path, rank=0, world_size=2)
+    d1 = VLNSampleDataset(path, rank=1, world_size=2)
+    assert len(d0.ds) + len(d1.ds) == 6
+    assert set(d0.ds.keys).isdisjoint(d1.ds.keys)
+
+
+def test_rdp_dataset(tmp_path):
+    path = write_synthetic_rdp_dataset(str(tmp_path / "rdp.bin"), n_episodes=2, T=12, hw=16)
+    make_epoch = make_rdp_dataloader(path, batch_size=2, len_traj_pred=8)
+    b = next(iter(make_epoch()))
+    assert b["observations"]["actions"].shape == (2, 8, 3)
+    assert np.abs(b["observations"]["actions"]).max() <= 1.0
+    assert b["observations"]["imu"].shape == (2, 3)
+
+
+def test_relative_traj_geometry():
+    # straight line along +x: deltas should all be forward steps
+    T = 10
+    positions = np.stack([np.arange(T) * 0.25, np.zeros(T)], 1)
+    yaws = np.zeros(T)
+    tr = relative_traj(positions, yaws, 0, 8, 8)
+    np.testing.assert_allclose(tr[:, 0], 0.25, atol=1e-6)
+    np.testing.assert_allclose(tr[:, 1], 0.0, atol=1e-6)
+
+
+def test_n1_dataset_tokenize_and_pack(tmp_path):
+    from internnav_tpu.model.basemodel.internvla_n1.policy import SimpleTokenizer
+
+    path = write_synthetic_n1_dataset(str(tmp_path / "n1.bin"), n_episodes=2, T=8, hw=28)
+    ds = N1SampleDataset(path, predict_step_nums=8)
+    samples = []
+    for s in ds:
+        samples.append(s)
+        if len(samples) >= 6:
+            break
+    assert any(s.has_traj for s in samples) or any("STOP" in s.answer for s in samples)
+
+    tok = SimpleTokenizer()
+    rows = [tokenize_sample(s, tok, tokens_per_image=4, n_query=2) for s in samples[:4]]
+    r = rows[0]
+    # labels masked on the prompt, supervised on the answer
+    assert (r["labels"][:5] == IGNORE_INDEX).all()
+    assert (r["labels"] != IGNORE_INDEX).sum() > 0
+    # traj tokens never supervised
+    traj_positions = r["input_ids"] == 151667
+    assert (r["labels"][traj_positions] == IGNORE_INDEX).all()
+
+    batch = n1_collate_fn(rows, predict_step_nums=8)
+    assert batch["input_ids"].shape[0] == 4
+    assert batch["traj_poses"].shape[1:] == (8, 3)
+
+    packed = n1_packed_collate_fn(rows, max_len=1024, predict_step_nums=8)
+    assert packed["input_ids"].shape == (1, 1024)
+    seg = packed["segment_ids"][0]
+    assert packed["num_packed"] >= 1
+    # segments are contiguous and padding is -1
+    assert seg[-1] == -1 or packed["num_packed"] == len(rows)
+
+
+def test_prefetcher_propagates_errors():
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    p = Prefetcher(gen())
+    it = iter(p)
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)
