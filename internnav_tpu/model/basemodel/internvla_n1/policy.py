@@ -196,12 +196,17 @@ class InternVLAN1Policy:
             tuple(map(tuple, grid.tolist())),
         )
         cos, sin = rotary_table(idx["pos_ids"], cfg.vision.hidden_size // cfg.vision.num_heads)
-        tokens = self.model.apply(
-            {"params": self.params},
+        key = f"vis_{patches.shape}"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, *a: self.model.apply({"params": p}, *a,
+                                               method=self.model.encode_vision)
+            )
+        tokens = self._jit_cache[key](
+            self.params,
             jnp.asarray(patches), jnp.asarray(cos), jnp.asarray(sin),
             jnp.asarray(idx["window_segments"]), jnp.asarray(idx["full_segments"]),
             jnp.asarray(idx["window_index"]), jnp.asarray(idx["reverse_index"]),
-            method=self.model.encode_vision,
         )
         return tokens, grid
 
@@ -250,17 +255,25 @@ class InternVLAN1Policy:
             image_token_id=self.cfg.image_token_index,
         )
 
-        embeds = self.model.apply(
-            {"params": self.params}, jnp.asarray(input_ids), img_tokens,
-            method=self.model.embed_multimodal,
-        )
-        tokens, lengths = greedy_generate(
-            self.text_model,
-            self.params["language_model"],
-            embeds, jnp.asarray(pos_ids),
-            max_new_tokens=max_new_tokens,
-            eos_token_ids=(self.tokenizer.eos_token_id,),
-            rope_deltas=jnp.asarray(rope_deltas[:, 0]),
+        key = f"gen_{input_ids.shape}_{img_tokens.shape}_{max_new_tokens}"
+        if key not in self._jit_cache:
+            eos = (self.tokenizer.eos_token_id,)
+
+            def gen_fn(params, input_ids, img_tokens, pos_ids, rope_deltas):
+                embeds = self.model.apply(
+                    {"params": params}, input_ids, img_tokens,
+                    method=self.model.embed_multimodal,
+                )
+                return greedy_generate(
+                    self.text_model, params["language_model"], embeds, pos_ids,
+                    max_new_tokens=max_new_tokens, eos_token_ids=eos,
+                    rope_deltas=rope_deltas,
+                )
+
+            self._jit_cache[key] = jax.jit(gen_fn)
+        tokens, lengths = self._jit_cache[key](
+            self.params, jnp.asarray(input_ids), img_tokens,
+            jnp.asarray(pos_ids), jnp.asarray(rope_deltas[:, 0]),
         )
         gen = np.asarray(tokens)[0][: int(np.asarray(lengths)[0])]
         self.llm_output = self.tokenizer.decode(gen)
@@ -276,26 +289,49 @@ class InternVLAN1Policy:
         return out
 
     def generate_latents(self, input_ids: np.ndarray, generated: np.ndarray,
-                         img_tokens, grid) -> jnp.ndarray:
+                         img_tokens, grid, bucket: int = 32) -> jnp.ndarray:
         """Extra prefill with appended traj-query tokens → last-layer hidden
-        states of the query positions (reference internvla_n1.py:320-347)."""
+        states of the query positions (reference internvla_n1.py:320-347).
+
+        TPU note: the sequence is right-padded to a `bucket` multiple with
+        the pad tokens placed in a separate attention segment, so the real
+        tokens' hidden states are bit-identical to the unpadded prefill
+        while the compiled shape stays fixed across decode lengths.
+        """
         n_q = self.cfg.n_query
-        full = np.concatenate([
+        real = np.concatenate([
             input_ids[0], np.asarray(generated, np.int64),
             np.full((n_q,), self.cfg.traj_token_index, np.int64),
-        ])[None]
+        ])
+        L = len(real)
+        padded_len = -(-L // bucket) * bucket
+        full = np.full((1, padded_len), self.tokenizer.eos_token_id, np.int64)
+        full[0, :L] = real
+        seg = np.zeros((1, padded_len), np.int32)
+        seg[0, L:] = 1  # pads isolated in their own segment
         pos_ids, _ = get_rope_index_25(
             full, grid,
             spatial_merge_size=self.cfg.vision.spatial_merge_size,
             image_token_id=self.cfg.image_token_index,
         )
 
-        def fn(mdl):
-            e = mdl.embed_multimodal(jnp.asarray(full), img_tokens)
-            _, hidden, _ = mdl.prefill(e, jnp.asarray(pos_ids))
-            return hidden[:, -n_q:, :]
+        def builder():
+            def fn(params, full, seg, pos_ids, img_tokens, take):
+                def inner(mdl):
+                    e = mdl.embed_multimodal(full, img_tokens)
+                    _, hidden, _ = mdl.prefill(e, pos_ids, segment_ids=seg)
+                    return jax.lax.dynamic_slice_in_dim(hidden, take, n_q, axis=1)
 
-        return self.model.apply({"params": self.params}, method=fn)
+                return self.model.apply({"params": params}, method=inner)
+
+            return jax.jit(fn)
+
+        key = f"latents_{padded_len}"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = builder()
+        fn = self._jit_cache[key]
+        return fn(self.params, jnp.asarray(full), jnp.asarray(seg),
+                  jnp.asarray(pos_ids), img_tokens, jnp.asarray(L - n_q))
 
     def s1_step_latent(self, rgb: np.ndarray, depth: Optional[np.ndarray],
                        latent, continuous_traj: bool = True,
@@ -308,23 +344,30 @@ class InternVLAN1Policy:
             mean = np.asarray([0.485, 0.456, 0.406])
             std = np.asarray([0.229, 0.224, 0.225])
             imdp = (np.asarray(rgb, np.float32) / 255.0 - mean) / std
-
-            def fn(mdl):
-                return mdl.generate_traj_nextdit(
-                    latent, jnp.asarray(imdp, jnp.float32), rng=sub,
-                    num_sample_trajs=num_sample_trajs,
+            key = f"s1_nextdit_{imdp.shape}_{num_sample_trajs}"
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    lambda p, lat, im, r: self.model.apply(
+                        {"params": p},
+                        method=lambda mdl: mdl.generate_traj_nextdit(
+                            lat, im, rng=r, num_sample_trajs=num_sample_trajs),
+                    )
                 )
-
-            dp_actions = self.model.apply({"params": self.params}, method=fn)
+            dp_actions = self._jit_cache[key](
+                self.params, latent, jnp.asarray(imdp, jnp.float32), sub)
         else:
-            def fn(mdl):
-                return mdl.generate_traj_navdp(
-                    latent, jnp.asarray(rgb, jnp.float32) / 255.0,
-                    jnp.asarray(depth, jnp.float32), rng=sub,
-                    sample_num=num_sample_trajs,
+            key = f"s1_navdp_{np.asarray(rgb).shape}_{num_sample_trajs}"
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    lambda p, lat, im, de, r: self.model.apply(
+                        {"params": p},
+                        method=lambda mdl: mdl.generate_traj_navdp(
+                            lat, im, de, rng=r, sample_num=num_sample_trajs),
+                    )
                 )
-
-            dp_actions = self.model.apply({"params": self.params}, method=fn)
+            dp_actions = self._jit_cache[key](
+                self.params, latent, jnp.asarray(rgb, jnp.float32) / 255.0,
+                jnp.asarray(depth, jnp.float32), sub)
 
         dp = np.asarray(dp_actions)
         if continuous_traj:

@@ -256,6 +256,12 @@ def flash_attention(
         use_pallas = jax.default_backend() not in ("cpu",)
     if segment_ids is not None and kv_segment_ids is None:
         kv_segment_ids = segment_ids
+    # the tiled kernel needs block-divisible sequence lengths; odd shapes
+    # (prompt buckets, tiny tests) take the XLA path
+    Tq, Tk = q.shape[2], k.shape[2]
+    bq, bk = min(block_q, Tq), min(block_k, Tk)
+    if Tq % bq or Tk % bk:
+        use_pallas = False
     if not use_pallas:
         return mha_reference(
             q, k, v, causal=causal, segment_ids=segment_ids,
