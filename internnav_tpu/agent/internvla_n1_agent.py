@@ -105,6 +105,7 @@ class InternVLAN1Agent(Agent):
         self.policy.reset()
         self.action_queue: List[int] = []
         self.latent = None
+        self.last_trajectory: Optional[np.ndarray] = None
         self.memory_frame: Optional[np.ndarray] = None
         self.steps_since_s2 = 0
         self.pending_s2 = False
@@ -185,6 +186,7 @@ class InternVLAN1Agent(Agent):
         s1 = self.policy.s1_step_latent(
             rgb2, depth2, self.latent, continuous_traj=self.continuous_traj
         )
+        self.last_trajectory = s1.trajectory
         self.action_queue.extend(s1.idx[: self.max_local_steps])
 
     # ------------------------------------------------------------------ api
@@ -219,4 +221,7 @@ class InternVLAN1Agent(Agent):
 
         action = self.action_queue.pop(0) if self.action_queue else 0
         self.steps_since_s2 += 1
-        return [{"action": [int(action)], "ideal_flag": True}]
+        out: Dict[str, Any] = {"action": [int(action)], "ideal_flag": True}
+        if self.last_trajectory is not None:
+            out["trajectory"] = self.last_trajectory
+        return [out]
