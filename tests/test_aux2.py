@@ -1,0 +1,143 @@
+"""Profiling, realworld server, dialog agent, converter tests."""
+
+import json
+import os
+import struct
+import urllib.request
+
+import numpy as np
+import pytest
+
+from internnav_tpu.utils.profiling import PhaseTimer, TensorBoardWriter
+
+
+def test_phase_timer():
+    pt = PhaseTimer()
+    with pt.phase("env_step"):
+        pass
+    with pt.phase("env_step"):
+        pass
+    with pt.phase("agent_step"):
+        pass
+    s = pt.summary()
+    assert s["env_step"]["count"] == 2
+    assert s["agent_step"]["count"] == 1
+
+
+def test_tensorboard_writer_format(tmp_path):
+    tb = TensorBoardWriter(str(tmp_path))
+    tb.add_scalar("loss", 1.5, step=1)
+    tb.add_scalar("loss", 1.2, step=2)
+    tb.close()
+    files = [f for f in os.listdir(tmp_path) if "tfevents" in f]
+    assert len(files) == 1
+    # verify the record framing: len(8) + crc(4) + body + crc(4)
+    data = open(tmp_path / files[0], "rb").read()
+    off, records = 0, 0
+    while off < len(data):
+        (ln,) = struct.unpack("<Q", data[off : off + 8])
+        off += 8 + 4 + ln + 4
+        records += 1
+    assert off == len(data) and records == 3  # version + 2 scalars
+
+
+def test_realworld_server_roundtrip():
+    from internnav_tpu.realworld.server import RealWorldServer, encode_npy
+
+    class StubAgent:
+        def __init__(self):
+            self.policy = None
+
+        def step(self, obs):
+            dp = np.zeros((2, 4, 3))
+            dp[:, :, 0] = 1.0
+            return [{"action": [1], "trajectory": dp}]
+
+        def reset(self):
+            pass
+
+    server = RealWorldServer(StubAgent(), "127.0.0.1", 18331)
+    server.run(background=True)
+    try:
+        body = {"instruction": "go", "rgb": encode_npy(np.zeros((8, 8, 3), np.uint8)),
+                "pose": [0, 0, 0]}
+        req = urllib.request.Request(
+            "http://127.0.0.1:18331/eval_dual", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            out = json.loads(resp.read())
+        assert out["action"] == [1]
+        assert out["v"] > 0  # MPC tracked the forward trajectory
+        req2 = urllib.request.Request("http://127.0.0.1:18331/reset",
+                                      data=b"{}", method="POST")
+        with urllib.request.urlopen(req2, timeout=5) as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+    finally:
+        server.shutdown()
+
+
+@pytest.mark.slow
+def test_dialog_agent_asks_and_acts():
+    from internnav_tpu.agent import Agent
+    from internnav_tpu.configs import AgentCfg
+    from internnav_tpu.dialog.dialog_agent import DialogAgent, pixel_to_gps
+
+    agent = Agent.init(AgentCfg(
+        model_name="dialog",
+        model_settings={"goal_info": {"object": "chair", "room": "kitchen"}},
+    ))
+    obs = [{
+        "rgb": np.zeros((56, 56, 3), np.uint8),
+        "depth": np.ones((56, 56), np.float32),
+        "instruction_text": "find the chair",
+        "globalgps": np.zeros(3), "yaw": 0.0,
+    }]
+    out = agent.step(obs)[0]
+    assert "action" in out
+    agent.reset()
+
+    # pixel->GPS geometry: center pixel, level camera → straight ahead
+    gps = pixel_to_gps((28, 28), 2.0, (56, 56), 90.0, (0, 0, 0),
+                       camera_pitch_deg=0.0)
+    np.testing.assert_allclose(gps[0], 2.0, atol=0.1)
+    np.testing.assert_allclose(gps[1], 0.0, atol=0.1)
+
+
+def test_converter_roundtrip(tmp_path):
+    import subprocess
+    import sys
+
+    import cv2
+
+    # build a raw StreamVLN-style episode
+    raw = tmp_path / "raw" / "ep0"
+    (raw / "rgb").mkdir(parents=True)
+    for i in range(3):
+        cv2.imwrite(str(raw / "rgb" / f"{i:06d}.jpg"),
+                    np.zeros((16, 16, 3), np.uint8))
+    (raw / "meta.json").write_text(json.dumps({
+        "instruction": "go", "actions": [1, 1, 0],
+        "positions": [[0, 0], [0.25, 0], [0.5, 0]], "yaws": [0, 0, 0],
+    }))
+    out = tmp_path / "store.bin"
+    r = subprocess.run(
+        [sys.executable, "scripts/dataset_converters/vlnce_to_store.py",
+         "--raw", str(tmp_path / "raw"), "--out", str(out),
+         "--lerobot", str(tmp_path / "lr")],
+        capture_output=True, text=True, cwd=os.getcwd(), timeout=240,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    from internnav_tpu.dataset.traj_store import TrajStore
+
+    s = TrajStore(str(out), writable=False)
+    tree = s.get_tree("ep0")
+    assert tree["rgb"].shape == (3, 16, 16, 3)
+    assert tree["actions"].tolist() == [1, 1, 0]
+    # lerobot layout emitted + readable through the adapter
+    from internnav_tpu.dataset.lerobot import LerobotAsTrajStore
+
+    lr = LerobotAsTrajStore(str(tmp_path / "lr"))
+    assert len(lr) == 1
+    ep = lr.get_tree("ep0000")
+    assert ep["actions"].tolist() == [1, 1, 0]
