@@ -72,6 +72,12 @@ class FakeEnv(Env):
         self.max_step = self.task_cfg.max_step
         self.success_distance = self.task_cfg.metric_config.success_distance
         self.instr_pad_len = int(s.get("instruction_pad_len", 200))
+        # controller selection: flash (teleport) vs discrete (physical-mode
+        # speed integration) — the reference's two benchmark modes
+        from internnav_tpu.env.controllers import build_controller
+
+        kind = s.get("controller", "flash" if self.task_cfg.robot_flash else "flash")
+        self.controller = build_controller(kind)
         self._next_idx = 0
         self.slots = [_Slot() for _ in range(self.env_num)]
         self.results: List[Dict[str, Any]] = []
@@ -131,18 +137,11 @@ class FakeEnv(Env):
             if slot.terminated or slot.done or slot.episode is None:
                 continue
             a = int(action)
-            x, y, yaw = slot.pose
             fail = ""
-            if a == FORWARD:
-                x += FORWARD_DIST * np.cos(yaw)
-                y += FORWARD_DIST * np.sin(yaw)
-            elif a == LEFT:
-                yaw += TURN_RAD
-            elif a == RIGHT:
-                yaw -= TURN_RAD
-            elif a == STOP:
+            if a == STOP:
                 slot.stop_called = True
-            slot.pose = np.array([x, y, yaw])
+            else:
+                slot.pose, _ = self.controller.apply(slot.pose, a)
             slot.steps += 1
             if a == STOP:
                 slot.done = True

@@ -124,7 +124,7 @@ def test_converter_roundtrip(tmp_path):
         [sys.executable, "scripts/dataset_converters/vlnce_to_store.py",
          "--raw", str(tmp_path / "raw"), "--out", str(out),
          "--lerobot", str(tmp_path / "lr")],
-        capture_output=True, text=True, cwd=os.getcwd(), timeout=240,
+        capture_output=True, text=True, cwd=os.getcwd(), timeout=480,
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     assert r.returncode == 0, r.stderr[-500:]

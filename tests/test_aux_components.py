@@ -186,3 +186,59 @@ def test_habitat_dual_system_evaluator_on_fakesim(tmp_path):
                               policy=pol)
     m2 = ev2.eval()
     assert m2["num_episodes"] == 1
+
+
+def test_controllers():
+    from internnav_tpu.env.controllers import (
+        DiscreteSpeedController,
+        FlashCollisionController,
+        FlashController,
+        build_controller,
+    )
+
+    flash = FlashController()
+    pose, done = flash.apply(np.zeros(3), 1)
+    np.testing.assert_allclose(pose, [0.25, 0, 0], atol=1e-9)
+    assert done
+
+    # speed controller integrates to the same macro displacement
+    speed = DiscreteSpeedController()
+    pose2, done = speed.apply(np.zeros(3), 1)
+    np.testing.assert_allclose(pose2, [0.25, 0, 0], atol=1e-6)
+    pose3, _ = speed.apply(np.zeros(3), 2)
+    np.testing.assert_allclose(np.rad2deg(pose3[2]), 15.0, atol=1e-6)
+
+    # collision controller rejects blocked moves
+    blocked = FlashCollisionController(is_occupied=lambda x, y: x > 0.1)
+    pose4, _ = blocked.apply(np.zeros(3), 1)
+    np.testing.assert_allclose(pose4, np.zeros(3))
+
+    assert isinstance(build_controller("stand_still").apply(np.zeros(3))[0],
+                      np.ndarray)
+
+
+@pytest.mark.slow
+def test_dialog_evaluator(tmp_path):
+    from internnav_tpu.configs import AgentCfg, EnvCfg, EvalCfg, TaskCfg
+    from internnav_tpu.dialog.evaluator import HabitatDialogEvaluator
+    from internnav_tpu.env.episodes import Episode
+    from internnav_tpu.habitat.sim_adapter import FakeSim
+
+    eps = [Episode(
+        episode_id="0", trajectory_id="t", scene_id="s",
+        instruction_text="find the chair", instruction_tokens=None,
+        start_position=np.zeros(3), start_rotation=np.asarray([1, 0, 0, 0]),
+        reference_path=np.asarray([[0, 0, 0], [1, 0, 0]], float),
+        geodesic_distance=1.0,
+        extra={"goal_info": {"object": "chair", "room": "kitchen"}},
+    )]
+    cfg = EvalCfg(
+        agent=AgentCfg(model_name="dialog",
+                       model_settings={"goal_info": {"object": "chair"}}),
+        env=EnvCfg(env_type="fake"), task=TaskCfg(max_step=5),
+        eval_type="habitat_dialog", output_dir=str(tmp_path),
+    )
+    ev = HabitatDialogEvaluator(cfg, sim=FakeSim(rgb_hw=(56, 56), max_steps=8),
+                                episodes=eps)
+    m = ev.eval()
+    assert m["num_episodes"] == 1

@@ -1,0 +1,57 @@
+"""InternVLA-N1 trainer test: packed batch, LM+S1 loss, selective freeze."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.mark.slow
+def test_n1_trainer_step_and_freeze(tmp_path):
+    from internnav_tpu.configs.trainer import ExpCfg, MeshCfg
+    from internnav_tpu.dataset.internvla_n1_dataset import (
+        N1SampleDataset,
+        n1_packed_collate_fn,
+        tokenize_sample,
+        write_synthetic_n1_dataset,
+    )
+    from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Config
+    from internnav_tpu.model.basemodel.internvla_n1.policy import (
+        InternVLAN1Policy,
+        SimpleTokenizer,
+    )
+    from internnav_tpu.trainer.internvla_n1_trainer import InternVLAN1Trainer
+
+    path = write_synthetic_n1_dataset(str(tmp_path / "store.bin"),
+                                      n_episodes=2, T=6, hw=28)
+    cfg_model = InternVLAN1Config.tiny("nextdit")
+    pol = InternVLAN1Policy.build(cfg_model, image_hw=28)
+    tok = SimpleTokenizer(cfg_model.text.vocab_size)
+    pol.tokenizer = tok
+    tpi = pol._tokens_per_image((28, 28))
+    ds = N1SampleDataset(path, predict_step_nums=cfg_model.predict_step_nums,
+                         num_history=2)
+    rows = []
+    for s in ds:
+        rows.append(tokenize_sample(s, tok, tokens_per_image=tpi,
+                                    n_query=cfg_model.n_query))
+        if len(rows) >= 2:
+            break
+    batch = n1_packed_collate_fn(rows, max_len=256,
+                                 predict_step_nums=cfg_model.predict_step_nums)
+
+    v_init = np.array(jax.tree_util.tree_leaves(pol.params["visual"])[0])
+    l_init = np.array(jax.tree_util.tree_leaves(pol.params["language_model"])[0])
+
+    exp = ExpCfg(name="n1t", model_name="internvla_n1",
+                 output_dir=str(tmp_path / "out"),
+                 mesh=MeshCfg(axes={"dp": 8}, param_sharding="fsdp"))
+    trainer = InternVLAN1Trainer(exp, pol, total_steps=2, tune_llm=True,
+                                 tune_mm_vision=False)
+    m = trainer.train_on_batches([batch, batch])
+    assert np.isfinite(m["lm_loss"]) and np.isfinite(m["s1_loss"])
+
+    v_after = np.array(jax.tree_util.tree_leaves(trainer.params["visual"])[0])
+    l_after = np.array(jax.tree_util.tree_leaves(trainer.params["language_model"])[0])
+    np.testing.assert_array_equal(v_init, v_after)  # frozen vision tower
+    assert not np.allclose(l_init, l_after)  # trainable LLM updated
