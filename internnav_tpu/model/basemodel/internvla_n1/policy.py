@@ -229,9 +229,67 @@ class InternVLAN1Policy:
         text = (f"{IM_START}user\n{body}{IM_END}\n{IM_START}assistant\n")
         return np.asarray(self.tokenizer.encode(text), np.int64)[None]
 
+    # ------------------------------------------------------------ fused s2
+    def _fused_s2_fn(self, max_new_tokens: int, n_q: int):
+        """One jitted program: vision encode → embed → prefill+decode →
+        latents prefill over [prompt, generated, traj] with pads masked by
+        segment ids. A single device round trip per S2 step — the 3-4
+        separate dispatches otherwise dominate latency on networked TPUs."""
+        model = self.model
+        text_model = self.text_model
+        cfg = self.cfg
+        eos = (self.tokenizer.eos_token_id,)
+
+        def fn(params, patches, cos, sin, wseg, fseg, widx, ridx,
+               input_ids, pos_ids, rope_deltas):
+            img_tokens = model.apply(
+                {"params": params}, patches, cos, sin, wseg, fseg, widx, ridx,
+                method=model.encode_vision,
+            )
+            embeds = model.apply({"params": params}, input_ids, img_tokens,
+                                 method=model.embed_multimodal)
+            tokens, lengths = greedy_generate(
+                text_model, params["language_model"], embeds, pos_ids,
+                max_new_tokens=max_new_tokens, eos_token_ids=eos,
+                rope_deltas=rope_deltas,
+            )
+            B, T = input_ids.shape
+            # full sequence: [prompt, generated (padded with eos), traj queries]
+            full = jnp.concatenate([
+                input_ids, tokens.astype(input_ids.dtype),
+                jnp.full((B, n_q), cfg.traj_token_index, input_ids.dtype),
+            ], axis=1)
+            L = full.shape[1]
+            # tail = [generated (padded), traj queries]; positions continue
+            # at max_pos + 1 + i (M-RoPE decode positions); traj queries
+            # follow the REAL generated length so position ids match the
+            # unpadded reference sequence exactly
+            tail_idx = jnp.arange(L - T)[None, :]  # (1, L-T)
+            is_traj = tail_idx >= (L - T - n_q)
+            is_pad = (tail_idx >= lengths[:, None]) & ~is_traj
+            traj_off = lengths[:, None] + (tail_idx - (L - T - n_q))
+            tail_pos = jnp.where(is_traj, traj_off, tail_idx)
+            tail_pos_full = T + rope_deltas[:, None] + tail_pos  # (B, L-T)
+            pos3 = jnp.broadcast_to(pos_ids, (3, B, T))
+            full_pos = jnp.concatenate([
+                pos3, jnp.broadcast_to(tail_pos_full[None], (3, B, L - T)),
+            ], axis=2)
+            seg = jnp.concatenate([
+                jnp.zeros((B, T), jnp.int32), is_pad.astype(jnp.int32),
+            ], axis=1)
+            e2 = model.apply({"params": params}, full, img_tokens,
+                             method=model.embed_multimodal)
+            _, hidden, _ = model.apply({"params": params}, e2, full_pos,
+                                       segment_ids=seg, method=model.prefill)
+            latents = hidden[:, -n_q:, :]
+            return tokens, lengths, latents
+
+        return jax.jit(fn)
+
     # ---------------------------------------------------------------- steps
     def s2_step(self, image: np.ndarray, instruction: str,
-                look_down: bool = False, max_new_tokens: int = 128) -> S2Output:
+                look_down: bool = False, max_new_tokens: int = 128,
+                fused: bool = True) -> S2Output:
         if not look_down:
             self.rgb_list.append(np.asarray(image))
             if self.episode_idx == 0:
@@ -246,9 +304,13 @@ class InternVLAN1Policy:
             self.input_images = self.input_images + [np.asarray(image)]
 
         images = np.stack(self.input_images)
-        img_tokens, grid = self._encode_images(images)
         hw = images.shape[1:3]
         input_ids = self._build_prompt_ids(instruction, len(images), hw)
+
+        if fused:
+            return self._s2_step_fused(images, input_ids, max_new_tokens)
+
+        img_tokens, grid = self._encode_images(images)
         pos_ids, rope_deltas = get_rope_index_25(
             input_ids, grid,
             spatial_merge_size=self.cfg.vision.spatial_merge_size,
@@ -284,6 +346,48 @@ class InternVLAN1Policy:
             if len(coords) >= 2:
                 out.output_pixel = np.array([coords[1], coords[0]])
             out.output_latent = self.generate_latents(input_ids, gen, img_tokens, grid)
+        else:
+            out.output_action = parse_actions(self.llm_output)
+        return out
+
+    def _s2_step_fused(self, images: np.ndarray, input_ids: np.ndarray,
+                       max_new_tokens: int) -> S2Output:
+        cfg = self.cfg
+        mean = np.asarray([0.48145466, 0.4578275, 0.40821073])
+        std = np.asarray([0.26862954, 0.26130258, 0.27577711])
+        imgs = (np.asarray(images, np.float32) / 255.0 - mean) / std
+        patches, grid = preprocess_images(imgs.astype(np.float32), cfg.vision)
+        idx = vision_indices(
+            (cfg.vision.patch_size, cfg.vision.spatial_merge_size,
+             cfg.vision.window_size),
+            tuple(map(tuple, grid.tolist())),
+        )
+        cos, sin = rotary_table(
+            idx["pos_ids"], cfg.vision.hidden_size // cfg.vision.num_heads)
+        pos_ids, rope_deltas = get_rope_index_25(
+            input_ids, grid,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            image_token_id=cfg.image_token_index,
+        )
+        key = f"fused_{input_ids.shape}_{patches.shape}_{max_new_tokens}"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._fused_s2_fn(max_new_tokens, cfg.n_query)
+        tokens, lengths, latents = self._jit_cache[key](
+            self.params, jnp.asarray(patches, cfg.vision.dtype), jnp.asarray(cos),
+            jnp.asarray(sin), jnp.asarray(idx["window_segments"]),
+            jnp.asarray(idx["full_segments"]), jnp.asarray(idx["window_index"]),
+            jnp.asarray(idx["reverse_index"]), jnp.asarray(input_ids),
+            jnp.asarray(pos_ids), jnp.asarray(rope_deltas[:, 0]),
+        )
+        tokens_h, lengths_h, latents = jax.device_get(tokens), jax.device_get(lengths), latents
+        gen = np.asarray(tokens_h)[0][: int(np.asarray(lengths_h)[0])]
+        self.llm_output = self.tokenizer.decode(gen)
+        out = S2Output()
+        if re.search(r"\d", self.llm_output):
+            coords = [int(c) for c in re.findall(r"\d+", self.llm_output)]
+            if len(coords) >= 2:
+                out.output_pixel = np.array([coords[1], coords[0]])
+            out.output_latent = latents
         else:
             out.output_action = parse_actions(self.llm_output)
         return out

@@ -104,3 +104,31 @@ def test_quat_euler_roundtrip():
     q = euler_to_quat(0.1, -0.2, 0.7)
     e = quat_to_euler_angles(q)
     np.testing.assert_allclose(e, [0.1, -0.2, 0.7], atol=1e-9)
+
+
+def test_task_gen(tmp_path):
+    from internnav_tpu.configs import TaskCfg
+    from internnav_tpu.env.episodes import Episode
+    from internnav_tpu.env.task_gen import generate_vln_episodes, load_scene_asset
+
+    eps = [Episode(
+        episode_id="1", trajectory_id="t1", scene_id="sceneA",
+        instruction_text="", instruction_tokens=None,
+        start_position=np.asarray([1.0, 2.0, 0.0]),
+        start_rotation=np.asarray([1.0, 0, 0, 0]),
+        reference_path=np.zeros((2, 3)), geodesic_distance=1.0,
+    )]
+    # no scene dir → spec without asset
+    specs = generate_vln_episodes(eps, TaskCfg(max_step=50))
+    assert len(specs) == 1 and specs[0].max_step == 50
+    np.testing.assert_allclose(specs[0].start_position, [1.0, 2.0, 0.0])
+
+    # scene resolution walks for fixed assets; missing scene → skipped
+    scene_dir = tmp_path / "sceneA" / "sub"
+    scene_dir.mkdir(parents=True)
+    (scene_dir / "fixed.usd").write_text("")
+    assert load_scene_asset(str(tmp_path), "sceneA").endswith("fixed.usd")
+    specs2 = generate_vln_episodes(eps, TaskCfg(), scene_data_dir=str(tmp_path))
+    assert specs2[0].scene_asset.endswith("fixed.usd")
+    eps[0].scene_id = "missing"
+    assert generate_vln_episodes(eps, TaskCfg(), scene_data_dir=str(tmp_path)) == []

@@ -142,3 +142,22 @@ def test_simple_tokenizer_roundtrip():
     ids = tok.encode("<|im_start|>user\nhello world<|im_end|>")
     assert ids[0] == 151644 and ids[-1] == 151645
     assert len(ids) == 5  # im_start, 'user', 'hello', 'world', im_end
+
+
+@pytest.mark.slow
+def test_fused_s2_matches_unfused():
+    """The single-program fused S2 path must reproduce the separate
+    vision/generate/latents dispatches (tokens and latents)."""
+    pol = InternVLAN1Policy.build(InternVLAN1Config.tiny("nextdit"))
+    img = np.random.RandomState(3).randint(0, 255, (56, 56, 3)).astype(np.uint8)
+    out_f = pol.s2_step(img, "go to the door", max_new_tokens=6, fused=True)
+    text_f = pol.llm_output
+    pol.reset()
+    out_u = pol.s2_step(img, "go to the door", max_new_tokens=6, fused=False)
+    text_u = pol.llm_output
+    assert text_f == text_u
+    if out_u.output_latent is not None:
+        np.testing.assert_allclose(
+            np.asarray(out_f.output_latent), np.asarray(out_u.output_latent),
+            atol=2e-2, rtol=1e-2,
+        )
