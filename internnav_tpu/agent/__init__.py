@@ -7,3 +7,6 @@ __all__ = ["Agent", "agent_registry", "CmaAgent", "Seq2SeqAgent", "SimpleAgent",
 from internnav_tpu.agent.internvla_n1_agent import InternVLAN1Agent  # noqa: E402
 
 __all__.append("InternVLAN1Agent")
+from internnav_tpu.agent.navdp_agent import NavDPAgent  # noqa: E402
+
+__all__.append("NavDPAgent")
