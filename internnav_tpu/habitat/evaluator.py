@@ -268,3 +268,35 @@ def _build_habitat_sim(cfg):
     from internnav_tpu.habitat.sim_adapter import HabitatSimAdapter
 
     return HabitatSimAdapter(cfg)
+
+
+@Evaluator.register("habitat_default")
+class HabitatDefaultEvaluator(HabitatVLNEvaluator):
+    """Agent-server-based habitat eval (reference
+    habitat_default_evaluator.py:30-153): any registry agent (or an
+    AgentClient to a remote server when cfg.use_agent_server) drives
+    discrete actions; no dual-system logic."""
+
+    def _run_episode_dual(self, ep: Episode) -> Dict[str, Any]:
+        obs = self.sim.reset(ep)
+        self.agent.reset()
+        trajectory = [np.asarray(self.sim.position)]
+        steps = 0
+        while steps < self.cfg.task.max_step and not self.sim.episode_over:
+            o = dict(obs)
+            o["instruction_text"] = ep.instruction_text
+            o["instruction"] = (ep.instruction_tokens
+                                if ep.instruction_tokens is not None
+                                else np.zeros(8, np.int32))
+            out = self.agent.step([o])[0]
+            a = int(out["action"][0])
+            obs = self.sim.step(a)
+            trajectory.append(np.asarray(self.sim.position))
+            steps += 1
+            if a == 0:
+                break
+        return compute_all(np.asarray(trajectory), ep.reference_path,
+                           ep.geodesic_distance,
+                           self.cfg.task.metric_config.success_distance)
+
+    _run_episode_system2 = _run_episode_dual
