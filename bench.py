@@ -31,6 +31,11 @@ ACTIONS_PER_CYCLE = 8
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: repeat bench runs skip the long remote
+    # compiles on the tunneled TPU
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from __graft_entry__ import _small_n1_config
