@@ -117,3 +117,58 @@ def test_prefetcher_propagates_errors():
     assert next(it) == 1
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_vlln_dataset_and_combined(tmp_path):
+    from internnav_tpu.dataset.vlln_dataset import (
+        CombinedDataset,
+        VLLNSampleDataset,
+        write_synthetic_vlln_dataset,
+    )
+
+    path = write_synthetic_vlln_dataset(str(tmp_path / "vlln.bin"), n_episodes=2)
+    ds = VLLNSampleDataset(path, num_history=2)
+    samples = list(ds)
+    assert len(samples) > 4
+    questions = [s for s in samples if s.answer.endswith("?")]
+    answered = [s for s in samples if "resident replied" in s.prompt]
+    assert questions and answered
+
+    combined = CombinedDataset([["a", "b", "c"], ["x"]], weights=[2, 1])
+    assert list(combined) == ["a", "b", "x", "c"]
+
+
+def test_ema_schedule():
+    import jax.numpy as jnp
+
+    from internnav_tpu.trainer.ema import ema_decay, ema_init, ema_update
+
+    params = {"w": jnp.ones(3)}
+    ema = ema_init(params)
+    # step 0: decay 0 → ema == params
+    new_params = {"w": jnp.full(3, 2.0)}
+    ema = ema_update(ema, new_params, jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(ema["w"]), 2.0)
+    # late steps: decay near max → ema barely moves
+    d = float(ema_decay(jnp.asarray(100000)))
+    assert 0.99 < d <= 0.9999
+    ema2 = ema_update(ema, {"w": jnp.zeros(3)}, jnp.asarray(100000))
+    assert np.asarray(ema2["w"]).min() > 1.9
+
+
+def test_realworld_env_with_stub_io():
+    from internnav_tpu.configs import EnvCfg
+    from internnav_tpu.realworld.env import RealWorldEnv
+
+    commands = []
+    env = RealWorldEnv(EnvCfg(env_type="realworld", env_settings={
+        "camera_fn": lambda: {"rgb": np.ones((8, 8, 3), np.uint8)},
+        "command_fn": lambda v, w, d: commands.append((v, w)),
+        "capture_hz": 50, "action_duration_s": 0.01,
+    }))
+    obs = env.reset()
+    assert obs[0]["rgb"].shape == (8, 8, 3)
+    env.step([1])
+    env.step([2])
+    env.close()
+    assert (0.4, 0.0) in commands and (0.0, 0.6) in commands
