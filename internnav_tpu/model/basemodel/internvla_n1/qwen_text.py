@@ -111,10 +111,14 @@ class QwenAttention(nn.Module):
             pos = cache_len  # (B,) index of the new slot
             k_cache = _write_cache(k_cache, k.transpose(0, 2, 1, 3)[:, 0], pos)
             v_cache = _write_cache(v_cache, v.reshape(B, 1, KV, D)[:, 0], pos)
-            # GQA decode: fold kv heads
-            k_full = jnp.repeat(k_cache.transpose(0, 2, 1, 3), H // KV, axis=1)
-            v_full = jnp.repeat(v_cache.transpose(0, 2, 1, 3), H // KV, axis=1)
-            out = decode_attention(q[:, :, 0], k_full, v_full, pos + 1)
+            # grouped-query decode: no KV head repeat materialized (7x less
+            # cache traffic at the 7B H/KV ratio)
+            from internnav_tpu.ops.flash_attention import gqa_decode_attention
+
+            out = gqa_decode_attention(
+                q[:, :, 0], k_cache.transpose(0, 2, 1, 3),
+                v_cache.transpose(0, 2, 1, 3), pos + 1,
+            )
             out = out.reshape(B, 1, H * D)
             new_cache = (k_cache, v_cache)
         out = nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype, name="o_proj")(out)

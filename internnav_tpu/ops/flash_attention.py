@@ -298,6 +298,34 @@ def decode_attention(
     return jnp.einsum("bhk,bhkd->bhd", p, v_cache.astype(jnp.float32)).astype(q.dtype)
 
 
+def gqa_decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    cache_len: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Grouped-query decode without materializing the KV head repeat.
+
+    q: (B, H, D) with H = KV * G; caches: (B, KV, Tmax, D). HBM traffic on
+    the cache (the decode bottleneck at 7B: H/KV = 7x) reads each KV head
+    once, with the G query heads of a group batched into one matmul.
+    """
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    B, H, D = q.shape
+    KV, Tmax = k_cache.shape[1], k_cache.shape[2]
+    G = H // KV
+    qg = q.reshape(B, KV, G, D).astype(jnp.float32)
+    s = jnp.einsum("bkgd,bktd->bkgt", qg, k_cache.astype(jnp.float32)) * sm_scale
+    mask = jnp.arange(Tmax)[None, :] < cache_len.reshape(-1, 1)
+    s = jnp.where(mask[:, None, None, :], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bkgt,bktd->bkgd", p, v_cache.astype(jnp.float32))
+    return out.reshape(B, H, D).astype(q.dtype)
+
+
 def segment_ids_from_cu_seqlens(cu_seqlens, total_len: int) -> jnp.ndarray:
     """cu_seqlens (reference packing format, qwenvl_base.py:85-97) → per-token
     segment ids of shape (total_len,). cu_seqlens = [0, l0, l0+l1, ...]."""

@@ -94,3 +94,18 @@ def test_flash_backward_runs(rng):
     grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_gqa_decode_matches_repeat(rng):
+    """GQA decode (no KV repeat) must equal repeat-then-decode."""
+    from internnav_tpu.ops.flash_attention import gqa_decode_attention
+
+    B, KV, G, T, D = 2, 2, 3, 32, 16
+    H = KV * G
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KV, 40, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KV, 40, D)), jnp.float32)
+    lens = jnp.asarray([T, T - 5])
+    ref = decode_attention(q, jnp.repeat(k, G, axis=1), jnp.repeat(v, G, axis=1), lens)
+    got = gqa_decode_attention(q, k, v, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
