@@ -181,7 +181,17 @@ class Trainer:
         return self._ckpt_mgr
 
     def save_checkpoint(self) -> None:
+        import json
+
         import orbax.checkpoint as ocp
+
+        # copy the experiment config into the checkpoint dir (reference
+        # CheckpointFormatCallback.on_save, scripts/train/base_train/train.py:40-59)
+        cfg_path = os.path.join(self._ckpt_dir(), "exp_config.json")
+        if not os.path.exists(cfg_path):
+            os.makedirs(self._ckpt_dir(), exist_ok=True)
+            with open(cfg_path, "w") as f:
+                json.dump(self.cfg.model_dump(), f, indent=2, default=str)
 
         mgr = self._manager()
         mgr.save(
