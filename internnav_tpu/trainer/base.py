@@ -51,9 +51,11 @@ def make_optimizer(cfg: ExpCfg, total_steps: int) -> optax.GradientTransformatio
         sched = il.lr
 
     def decay_mask(params):
+        # Embedding matrices DO decay, matching the reference's HF grouping
+        # (get_parameter_names minus ALL_LAYERNORM_LAYERS/bias only).
         def is_decay(path, x):
             name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-            return name not in ("bias", "b_ih", "b_hh", "scale", "mean", "var", "embedding")
+            return name not in ("bias", "b_ih", "b_hh", "scale", "mean", "var")
 
         return jax.tree_util.tree_map_with_path(is_decay, params)
 
@@ -185,14 +187,6 @@ class Trainer:
 
         import orbax.checkpoint as ocp
 
-        # copy the experiment config into the checkpoint dir (reference
-        # CheckpointFormatCallback.on_save, scripts/train/base_train/train.py:40-59)
-        cfg_path = os.path.join(self._ckpt_dir(), "exp_config.json")
-        if not os.path.exists(cfg_path):
-            os.makedirs(self._ckpt_dir(), exist_ok=True)
-            with open(cfg_path, "w") as f:
-                json.dump(self.cfg.model_dump(), f, indent=2, default=str)
-
         mgr = self._manager()
         mgr.save(
             self.step,
@@ -202,6 +196,14 @@ class Trainer:
             ),
         )
         mgr.wait_until_finished()
+        # copy the experiment config into EACH step's checkpoint dir so every
+        # checkpoint is standalone (reference CheckpointFormatCallback.on_save,
+        # scripts/train/base_train/train.py:40-59); written unconditionally so
+        # a stale config never survives config changes across runs.
+        step_dir = os.path.join(self._ckpt_dir(), str(self.step))
+        os.makedirs(step_dir, exist_ok=True)
+        with open(os.path.join(step_dir, "exp_config.json"), "w") as f:
+            json.dump(self.cfg.model_dump(), f, indent=2, default=str)
 
     def maybe_restore(self) -> bool:
         import orbax.checkpoint as ocp

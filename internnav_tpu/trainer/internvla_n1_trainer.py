@@ -51,6 +51,34 @@ def trainability_labels(params: Dict, *, tune_llm: bool = False,
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def gather_traj_blocks(hidden, input_ids, traj_poses, traj_mask,
+                       traj_token_index: int, n_query: int):
+    """Align traj-token hidden states with their per-sample targets.
+
+    Packed batches interleave traj-bearing samples with STOP/turn samples
+    that contribute zero traj tokens, so the hidden-side compaction (stable
+    sort putting traj-token positions first) packs the k-th traj-BEARING
+    sample's n_query block into slot k. The target side (traj_poses /
+    traj_mask, indexed by packed-sample order) must be compacted with the
+    same stable sort so slot k pairs with the k-th traj-bearing sample;
+    trailing garbage slots get loss mask 0.
+
+    Returns (traj_hidden [N, n_query, D], traj_poses_c [N, P, 3],
+    loss_mask_c [N]) with N = traj_poses.shape[0].
+    """
+    n_rows = traj_poses.shape[0]
+    B, T, D = hidden.shape
+    flat_hidden = hidden.reshape(B * T, D)
+    flat_mask = (input_ids == traj_token_index).reshape(-1)
+    order = jnp.argsort(~flat_mask, stable=True)  # traj positions first
+    take = order[: n_rows * n_query]
+    traj_hidden = flat_hidden[take].reshape(n_rows, n_query, D)
+    sample_has_traj = jnp.asarray(traj_mask).astype(bool)
+    rows = jnp.argsort(~sample_has_traj, stable=True)
+    return traj_hidden, jnp.asarray(traj_poses)[rows], \
+        sample_has_traj[rows].astype(jnp.float32)
+
+
 class InternVLAN1Trainer(Trainer):
     batch_axis = 0
 
@@ -127,23 +155,18 @@ class InternVLAN1Trainer(Trainer):
 
         # System-1 loss on traj-token hidden states
         s1_loss = jnp.zeros(())
-        traj_mask_tok = input_ids == cfg.traj_token_index
         n_traj_rows = batch["traj_poses"].shape[0]
         if "nextdit" in cfg.system1 and n_traj_rows:
-            # gather each sample's n_query traj hidden states
-            B, T, D = hidden.shape
-            flat_hidden = hidden.reshape(B * T, D)
-            flat_mask = traj_mask_tok.reshape(-1)
-            order = jnp.argsort(~flat_mask, stable=True)  # traj positions first
-            n_q = cfg.n_query
-            take = order[: n_traj_rows * n_q]
-            traj_hidden = flat_hidden[take].reshape(n_traj_rows, n_q, D)
+            traj_hidden, traj_poses, traj_loss_mask = gather_traj_blocks(
+                hidden, input_ids, batch["traj_poses"], batch["traj_mask"],
+                cfg.traj_token_index, cfg.n_query,
+            )
 
             def s1(mdl):
                 return mdl.traj_loss_nextdit(
-                    traj_hidden, jnp.asarray(batch["traj_poses"]), rng,
+                    traj_hidden, traj_poses, rng,
                     images_dp=None,
-                    loss_mask=jnp.asarray(batch["traj_mask"]),
+                    loss_mask=traj_loss_mask,
                 )
 
             s1_loss = pol.model.apply({"params": params}, method=s1)

@@ -4,6 +4,34 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
+
+
+def test_gather_traj_blocks_alignment():
+    """Regression: a [no-traj, traj] packed batch must pair the traj-bearing
+    sample's hidden block with ITS poses under mask=1 (ADVICE round 1)."""
+    from internnav_tpu.trainer.internvla_n1_trainer import gather_traj_blocks
+
+    traj_id, n_q, D, P = 777, 3, 5, 4
+    # one packed row: [stop sample tokens..., traj sample with 3 traj tokens...]
+    input_ids = jnp.asarray(
+        [[1, 2, 3, 4, 10, 11, traj_id, traj_id, traj_id, 12, 0, 0]]
+    )
+    rng = np.random.RandomState(0)
+    hidden = jnp.asarray(rng.randn(1, 12, D).astype(np.float32))
+    traj_poses = jnp.asarray(rng.randn(2, P, 3).astype(np.float32))
+    traj_mask = np.asarray([False, True])  # sample 0 = STOP, sample 1 = traj
+
+    th, tp, lm = gather_traj_blocks(hidden, input_ids, traj_poses, traj_mask,
+                                    traj_id, n_q)
+    # slot 0 = the traj-bearing sample (sample 1): its hidden block and poses
+    np.testing.assert_array_equal(np.asarray(th[0]), np.asarray(hidden[0, 6:9]))
+    np.testing.assert_array_equal(np.asarray(tp[0]), np.asarray(traj_poses[1]))
+    np.testing.assert_array_equal(np.asarray(lm), [1.0, 0.0])
+
+    # direct per-sample gather for every masked slot must match
+    direct = hidden[0, input_ids[0] == traj_id].reshape(-1, n_q, D)
+    np.testing.assert_array_equal(np.asarray(th[:1]), np.asarray(direct))
 
 
 @pytest.mark.slow
