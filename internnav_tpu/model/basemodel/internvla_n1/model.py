@@ -197,6 +197,10 @@ class InternVLAN1Model(nn.Module):
         return self.visual(patches, cos, sin, window_segments, full_segments,
                            window_index, reverse_index)
 
+    def traj_queries(self):
+        """The learned latent query embeddings (1, n_query, D)."""
+        return self.latent_queries
+
     def prefill(self, inputs_embeds, position_ids, segment_ids=None,
                 return_cache=False):
         return self.language_model(inputs_embeds, position_ids,

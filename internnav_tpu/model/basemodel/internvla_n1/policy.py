@@ -234,54 +234,56 @@ class InternVLAN1Policy:
         """One jitted program: vision encode → embed → prefill+decode →
         latents prefill over [prompt, generated, traj] with pads masked by
         segment ids. A single device round trip per S2 step — the 3-4
-        separate dispatches otherwise dominate latency on networked TPUs."""
+        separate dispatches otherwise dominate latency on networked TPUs.
+
+        The prompt arrives right-padded to a length bucket (prompt_len (B,)
+        real lengths, prompt_seg marking pads), so one compile serves every
+        instruction length within the bucket; generation starts at the last
+        REAL token and decode overwrites the pad cache slots, keeping the
+        result bit-identical to the unpadded program."""
         model = self.model
         text_model = self.text_model
         cfg = self.cfg
         eos = (self.tokenizer.eos_token_id,)
 
         def fn(params, patches, cos, sin, wseg, fseg, widx, ridx,
-               input_ids, pos_ids, rope_deltas):
+               input_ids, pos_ids, rope_deltas, prompt_len, prompt_seg):
             img_tokens = model.apply(
                 {"params": params}, patches, cos, sin, wseg, fseg, widx, ridx,
                 method=model.encode_vision,
             )
             embeds = model.apply({"params": params}, input_ids, img_tokens,
                                  method=model.embed_multimodal)
-            tokens, lengths = greedy_generate(
+            tokens, lengths, caches = greedy_generate(
                 text_model, params["language_model"], embeds, pos_ids,
                 max_new_tokens=max_new_tokens, eos_token_ids=eos,
-                rope_deltas=rope_deltas,
+                rope_deltas=rope_deltas, prompt_lengths=prompt_len,
+                segment_ids=prompt_seg, return_caches=True,
+                extra_cache_slots=n_q,
             )
             B, T = input_ids.shape
-            # full sequence: [prompt, generated (padded with eos), traj queries]
-            full = jnp.concatenate([
-                input_ids, tokens.astype(input_ids.dtype),
-                jnp.full((B, n_q), cfg.traj_token_index, input_ids.dtype),
-            ], axis=1)
-            L = full.shape[1]
-            # tail = [generated (padded), traj queries]; positions continue
-            # at max_pos + 1 + i (M-RoPE decode positions); traj queries
-            # follow the REAL generated length so position ids match the
-            # unpadded reference sequence exactly
-            tail_idx = jnp.arange(L - T)[None, :]  # (1, L-T)
-            is_traj = tail_idx >= (L - T - n_q)
-            is_pad = (tail_idx >= lengths[:, None]) & ~is_traj
-            traj_off = lengths[:, None] + (tail_idx - (L - T - n_q))
-            tail_pos = jnp.where(is_traj, traj_off, tail_idx)
-            tail_pos_full = T + rope_deltas[:, None] + tail_pos  # (B, L-T)
-            pos3 = jnp.broadcast_to(pos_ids, (3, B, T))
-            full_pos = jnp.concatenate([
-                pos3, jnp.broadcast_to(tail_pos_full[None], (3, B, L - T)),
-            ], axis=2)
-            seg = jnp.concatenate([
-                jnp.zeros((B, T), jnp.int32), is_pad.astype(jnp.int32),
-            ], axis=1)
-            e2 = model.apply({"params": params}, full, img_tokens,
-                             method=model.embed_multimodal)
-            _, hidden, _ = model.apply({"params": params}, e2, full_pos,
-                                       segment_ids=seg, method=model.prefill)
-            latents = hidden[:, -n_q:, :]
+            # traj latents via n_q cached decode steps over the generation's
+            # KV cache — mathematically identical to the reference's full
+            # re-prefill of [prompt, generated, traj] (internvla_n1.py:
+            # 320-347, which also re-runs the vision tower), at the cost of
+            # n_q decode steps instead of a second full-sequence prefill.
+            # Query i sits at real position prompt_len + lengths + i; its
+            # K/V write overwrites the stale eos-pad slot at that index.
+            q_embeds = model.apply({"params": params}, method=model.traj_queries)
+            hiddens = []
+            for i in range(n_q):
+                pos1 = (prompt_len + rope_deltas + lengths + i)[None, :]
+                pos = jnp.broadcast_to(pos1[..., None], (3, B, 1))
+                e_i = jnp.broadcast_to(
+                    q_embeds[:, i:i + 1], (B, 1, q_embeds.shape[-1])
+                ).astype(embeds.dtype)
+                _, h, caches = text_model.apply(
+                    {"params": params["language_model"]}, e_i, pos, caches,
+                    prompt_len + lengths + i, compute_logits=False,
+                    method=text_model.decode_step,
+                )
+                hiddens.append(h)
+            latents = jnp.stack(hiddens, axis=1)  # (B, n_q, D)
             return tokens, lengths, latents
 
         return jax.jit(fn)
@@ -350,6 +352,11 @@ class InternVLAN1Policy:
             out.output_action = parse_actions(self.llm_output)
         return out
 
+    #: prompt lengths are right-padded up to a multiple of this, so the
+    #: fused S2 program compiles once per bucket instead of once per
+    #: distinct instruction length (VERDICT r1 #6)
+    PROMPT_BUCKET = 64
+
     def _s2_step_fused(self, images: np.ndarray, input_ids: np.ndarray,
                        max_new_tokens: int) -> S2Output:
         cfg = self.cfg
@@ -364,20 +371,35 @@ class InternVLAN1Policy:
         )
         cos, sin = rotary_table(
             idx["pos_ids"], cfg.vision.hidden_size // cfg.vision.num_heads)
+        # rope positions/deltas computed on the REAL prompt, then the prompt
+        # is right-padded to a bucket with pads isolated by segment ids
         pos_ids, rope_deltas = get_rope_index_25(
             input_ids, grid,
             spatial_merge_size=cfg.vision.spatial_merge_size,
             image_token_id=cfg.image_token_index,
         )
-        key = f"fused_{input_ids.shape}_{patches.shape}_{max_new_tokens}"
+        B, P = input_ids.shape
+        bucket = self.PROMPT_BUCKET
+        T = -(-P // bucket) * bucket
+        padded_ids = np.full((B, T), self.tokenizer.eos_token_id, np.int64)
+        padded_ids[:, :P] = input_ids
+        pos_ids = np.asarray(pos_ids)
+        pad_pos = pos_ids.max() + 1 + np.arange(T - P)
+        padded_pos = np.concatenate(
+            [pos_ids, np.broadcast_to(pad_pos, (3, B, T - P))], axis=2)
+        prompt_seg = np.zeros((B, T), np.int32)
+        prompt_seg[:, P:] = 1
+        prompt_len = np.full((B,), P, np.int32)
+        key = f"fused_{padded_ids.shape}_{patches.shape}_{max_new_tokens}"
         if key not in self._jit_cache:
             self._jit_cache[key] = self._fused_s2_fn(max_new_tokens, cfg.n_query)
         tokens, lengths, latents = self._jit_cache[key](
             self.params, jnp.asarray(patches, cfg.vision.dtype), jnp.asarray(cos),
             jnp.asarray(sin), jnp.asarray(idx["window_segments"]),
             jnp.asarray(idx["full_segments"]), jnp.asarray(idx["window_index"]),
-            jnp.asarray(idx["reverse_index"]), jnp.asarray(input_ids),
-            jnp.asarray(pos_ids), jnp.asarray(rope_deltas[:, 0]),
+            jnp.asarray(idx["reverse_index"]), jnp.asarray(padded_ids),
+            jnp.asarray(padded_pos), jnp.asarray(rope_deltas[:, 0]),
+            jnp.asarray(prompt_len), jnp.asarray(prompt_seg),
         )
         tokens_h, lengths_h, latents = jax.device_get(tokens), jax.device_get(lengths), latents
         gen = np.asarray(tokens_h)[0][: int(np.asarray(lengths_h)[0])]

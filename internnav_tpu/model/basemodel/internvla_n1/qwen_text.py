@@ -213,11 +213,14 @@ class QwenTextModel(nn.Module):
             return (hidden.astype(jnp.float32) @ table.T.astype(jnp.float32))
         return self.lm_head(hidden).astype(jnp.float32)
 
-    def decode_step(self, token_embeds, position_ids, caches, cache_len):
+    def decode_step(self, token_embeds, position_ids, caches, cache_len,
+                    compute_logits: bool = True):
         """One cached decode step. token_embeds (B, 1, D); position_ids
         (3, B, 1) or (B, 1); caches: list of (k, v) (B, Tmax, KV, D);
         cache_len (B,) current lengths (new token goes at cache_len).
-        Returns (logits (B, vocab), new caches)."""
+        Returns (logits (B, vocab) or None, hidden (B, D), new caches).
+        compute_logits=False skips the lm_head matmul (a 1 GB weight read at
+        7B) for steps that only need hidden states (traj-query latents)."""
         cos, sin = self._cos_sin(position_ids)
         x = token_embeds
         new_caches = []
@@ -225,7 +228,8 @@ class QwenTextModel(nn.Module):
             x, c2 = layer(x, cos, sin, kv_cache=cache, cache_len=cache_len)
             new_caches.append(c2)
         hidden = self.norm(x)
-        return self._logits(hidden)[:, 0], new_caches
+        logits = self._logits(hidden)[:, 0] if compute_logits else None
+        return logits, hidden[:, 0], new_caches
 
 
 def pad_caches(caches, max_len: int):
@@ -246,14 +250,25 @@ def greedy_generate(
     max_new_tokens: int = 128,
     eos_token_ids: Tuple[int, ...] = (151645,),
     rope_deltas: Optional[jnp.ndarray] = None,
+    prompt_lengths: Optional[jnp.ndarray] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
+    return_caches: bool = False,
+    extra_cache_slots: int = 0,
     extra_embeds_fn=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, ...]:
     """Greedy decoding as one jitted program.
 
     Returns (tokens (B, max_new_tokens) with EOS-padding, lengths (B,)).
     rope_deltas: (B,) M-RoPE decode-position offset (HF rope-delta fast
     path) — decode position = seq_len + delta + step, same for all three
     streams (internvla_n1.py:178-204 semantics).
+
+    Bucketed prompts: when the prompt is right-padded to a fixed compile
+    shape, pass `prompt_lengths` (B,) real lengths and `segment_ids` with
+    the pads in their own segment. Decoding then starts from the last REAL
+    token's logits, and new tokens overwrite the pad cache slots (cache
+    position = prompt_length + step), so the result is bit-identical to the
+    unpadded program while the jit cache stays one entry per bucket.
     """
     B, T, _ = inputs_embeds.shape
     mrope = position_ids.ndim == 3
@@ -262,41 +277,47 @@ def greedy_generate(
             rope_deltas = position_ids.max(axis=(0, 2)) + 1 - T
         else:
             rope_deltas = jnp.zeros((B,), jnp.int32)
-
-    def apply(fn_name, *args):
-        return model.apply({"params": params}, *args, method=getattr(model, fn_name))
+    if prompt_lengths is None:
+        prompt_lengths = jnp.full((B,), T, jnp.int32)
+    prompt_lengths = prompt_lengths.astype(jnp.int32)
 
     logits, _, caches = model.apply(
         {"params": params}, inputs_embeds, position_ids, return_cache=True,
-        method=model.__call__,
+        segment_ids=segment_ids, method=model.__call__,
     )
-    caches = pad_caches(caches, T + max_new_tokens)
-    first_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    caches = pad_caches(caches, T + max_new_tokens + extra_cache_slots)
+    last_logits = jnp.take_along_axis(
+        logits, (prompt_lengths - 1)[:, None, None], axis=1
+    )[:, 0]
+    first_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
     eos = jnp.asarray(eos_token_ids)
 
     def body(state):
         step, tokens, caches, done = state
         cur = tokens[:, step]
         embeds = model.apply({"params": params}, cur[:, None], method=model.embed)
-        pos1 = (T + rope_deltas + step).astype(jnp.int32)[None, :]  # (1, B)
+        pos1 = (prompt_lengths + rope_deltas + step).astype(jnp.int32)[None, :]  # (1, B)
         if mrope:
             pos = jnp.broadcast_to(pos1[..., None], (3, B, 1))
         else:
             pos = pos1.reshape(B, 1)
-        cache_len = jnp.full((B,), T + step, jnp.int32)
-        logits, caches = model.apply(
+        cache_len = prompt_lengths + step
+        logits, _, caches = model.apply(
             {"params": params}, embeds, pos, caches, cache_len,
             method=model.decode_step,
         )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         done = done | jnp.isin(cur, eos)
         nxt = jnp.where(done, eos[0], nxt)
+        # step+1 == max_new_tokens on the final iteration: the scatter is
+        # dropped (out of bounds) — that iteration only runs to write the
+        # last token's K/V into the cache for the cached traj-latents path
         tokens = tokens.at[:, step + 1].set(nxt)
         return step + 1, tokens, caches, done
 
     def cond(state):
         step, tokens, _, done = state
-        return (step < max_new_tokens - 1) & (~done.all())
+        return (step < max_new_tokens) & (~done.all())
 
     tokens0 = jnp.full((B, max_new_tokens), eos[0], jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first_tok)
@@ -304,4 +325,6 @@ def greedy_generate(
     _, tokens, caches, _ = jax.lax.while_loop(cond, body, (0, tokens0, caches, done0))
     lengths = jnp.argmax(jnp.isin(tokens, eos), axis=1)
     lengths = jnp.where(jnp.isin(tokens, eos).any(axis=1), lengths, max_new_tokens)
+    if return_caches:
+        return tokens, lengths, caches
     return tokens, lengths

@@ -10,10 +10,12 @@ is confined within equal segments.
 Layout: q, k, v are (B, H, T, D). Stats are kept in fp32; the score matrix
 is never materialized beyond one (block_q, block_k) tile (online softmax).
 
-`flash_attention` is differentiable: the forward runs the Pallas kernel and
-the backward recomputes attention gradients with the tiled-free reference
-path under jax.checkpoint semantics (fine for the ≤8k sequences this
-framework trains at; a dedicated dq/dkv kernel is a later optimization).
+`flash_attention` is differentiable: the forward kernel also emits the
+per-row logsumexp, and the backward runs two tiled Pallas kernels (a dK/dV
+kernel accumulating over query blocks and a dQ kernel accumulating over KV
+blocks) so the (Tq, Tk) score matrix is never materialized in either
+direction — memory stays O(block_q * block_k) per core at the reference
+training length of 8192 (train_dual_system.sh:80).
 """
 
 from __future__ import annotations
@@ -76,7 +78,7 @@ def mha_reference(
 # -------------------------------------------------------------------- kernel
 def _flash_kernel(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
-    o_ref,
+    o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, causal: bool, sm_scale: float, block_q: int, block_k: int,
     kv_blocks: int, use_segments: bool,
@@ -142,6 +144,12 @@ def _flash_kernel(
     @pl.when(kv_idx == kv_blocks - 1)
     def _store():
         o_ref[0, 0] = acc_scratch[...].astype(o_ref.dtype)
+        # per-row logsumexp for the backward kernels; fully-masked rows
+        # (l == 0) get -inf, which the backward treats as "no valid key"
+        m = m_scratch[...][:, :1]
+        l = l_scratch[...][:, :1]
+        lse = jnp.where(l > 0.0, m + jnp.log(l), -jnp.inf)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _flash_forward(
@@ -182,12 +190,20 @@ def _flash_forward(
         kv_blocks=Tk // block_k,
         use_segments=use_segments,
     )
-    return pl.pallas_call(
+    o, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            # lanes-padded per-row logsumexp (layout matches the official
+            # pallas flash-attention residuals); sliced to (B,H,Tq) by users
+            jax.ShapeDtypeStruct((B, H, Tq, NUM_LANES), jnp.float32),
+        ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
@@ -197,6 +213,210 @@ def _flash_forward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
     )(*args)
+    return o, lse
+
+
+# ----------------------------------------------------------------- backward
+def _recompute_p_ds(q, k, lse, di, qseg_ref, kseg_ref, q_off, k_off,
+                    *, causal, sm_scale, use_segments):
+    """Shared tile math for both backward kernels.
+
+    q (block_q, D), k (block_k, D), lse/di (block_q, 1) fp32. Returns
+    (p, ds) both (block_q, block_k) fp32, with masked entries zeroed.
+    ds already includes the sm_scale factor (dS = P*(dP - D) * scale).
+    """
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    mask = None
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_off
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_off
+        mask = col <= row
+    if use_segments:
+        qs = qseg_ref[0]
+        ks = kseg_ref[0]
+        seg = qs[:, None] == ks[None, :]
+        mask = seg if mask is None else (mask & seg)
+    # rows with no valid key have lse == -inf; exp(s - (-inf)) would be inf,
+    # so substitute 0 for those rows (their output was 0, gradient is 0)
+    lse_safe = jnp.where(jnp.isfinite(lse), lse, 0.0)
+    p = jnp.exp(s - lse_safe)
+    p = jnp.where(jnp.isfinite(lse), p, 0.0)
+    if mask is not None:
+        p = jnp.where(mask, p, 0.0)
+    return p, mask
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, do_ref, lse_ref, di_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+    dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, causal, sm_scale, block_q, block_k, q_blocks, use_segments,
+):
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros(dk_scratch.shape, jnp.float32)
+        dv_scratch[...] = jnp.zeros(dv_scratch.shape, jnp.float32)
+
+    if causal:
+        # this (q, kv) tile holds a valid (row >= col) pair?
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)      # (block_q, D)
+        k = k_ref[0, 0].astype(jnp.float32)      # (block_k, D)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)    # (block_q, D)
+        lse = lse_ref[0, 0][:, :1]               # (block_q, 1)
+        di = di_ref[0, 0][:, :1]
+        p, _ = _recompute_p_ds(
+            q, k, lse, di, qseg_ref, kseg_ref,
+            q_idx * block_q, kv_idx * block_k,
+            causal=causal, sm_scale=sm_scale, use_segments=use_segments,
+        )
+        # dV += P^T dO
+        dv_scratch[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dP = dO V^T ; dS = P * (dP - D) * scale ; dK += dS^T Q
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di) * sm_scale
+        dk_scratch[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(q_idx == q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, do_ref, lse_ref, di_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+    dq_ref,
+    dq_scratch,
+    *, causal, sm_scale, block_q, block_k, kv_blocks, use_segments,
+):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros(dq_scratch.shape, jnp.float32)
+
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
+        p, _ = _recompute_p_ds(
+            q, k, lse, di, qseg_ref, kseg_ref,
+            q_idx * block_q, kv_idx * block_k,
+            causal=causal, sm_scale=sm_scale, use_segments=use_segments,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di) * sm_scale
+        # dQ += dS K
+        dq_scratch[...] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def _flash_backward(q, k, v, q_segment_ids, kv_segment_ids, o, lse, do,
+                    *, causal, sm_scale, block_q, block_k):
+    """Tiled dq/dk/dv: never materializes the (Tq, Tk) score matrix."""
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+    block_q = min(block_q, Tq)
+    block_k = min(block_k, Tk)
+    use_segments = q_segment_ids is not None
+
+    # D_i = rowsum(dO * O): one cheap bandwidth-bound XLA pass
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    di = jnp.broadcast_to(di[..., None], (B, H, Tq, NUM_LANES))
+
+    def seg_specs(q_map, k_map):
+        if use_segments:
+            return (
+                [pl.BlockSpec((1, block_q), q_map),
+                 pl.BlockSpec((1, block_k), k_map)],
+                [q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32)],
+            )
+        return (
+            [pl.BlockSpec(memory_space=pltpu.SMEM),
+             pl.BlockSpec(memory_space=pltpu.SMEM)],
+            [jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)],
+        )
+
+    # ---- dK/dV: grid (B, H, kv_blocks, q_blocks), q is the reduce axis
+    sspecs, sargs = seg_specs(lambda b, h, i, j: (b, j), lambda b, h, i, j: (b, i))
+    qspec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, j, 0))
+    statspec = pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, i, j: (b, h, j, 0))
+    kspec = pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_k=block_k, q_blocks=Tq // block_q,
+            use_segments=use_segments,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(B, H, Tk // block_k, Tq // block_q),
+        in_specs=[qspec, qspec, statspec, statspec, kspec, kspec] + sspecs,
+        out_specs=(kspec, kspec),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(q, do, lse, di, k, v, *sargs)
+
+    # ---- dQ: grid (B, H, q_blocks, kv_blocks), kv is the reduce axis
+    sspecs, sargs = seg_specs(lambda b, h, i, j: (b, i), lambda b, h, i, j: (b, j))
+    qspec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0))
+    statspec = pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, i, j: (b, h, i, 0))
+    kspec = pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0))
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_k=block_k, kv_blocks=Tk // block_k,
+            use_segments=use_segments,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(B, H, Tq // block_q, Tk // block_k),
+        in_specs=[qspec, qspec, statspec, statspec, kspec, kspec] + sspecs,
+        out_specs=qspec,
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(q, do, lse, di, k, v, *sargs)
+    return dq, dk, dv
 
 
 @functools.partial(
@@ -204,28 +424,27 @@ def _flash_forward(
 )
 def _flash_attention(q, k, v, q_segment_ids, kv_segment_ids,
                      causal, sm_scale, block_q, block_k):
-    return _flash_forward(
+    o, _ = _flash_forward(
         q, k, v, q_segment_ids, kv_segment_ids,
         causal=causal, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
     )
+    return o
 
 
 def _flash_fwd(q, k, v, qs, ks, causal, sm_scale, block_q, block_k):
-    o = _flash_attention(q, k, v, qs, ks, causal, sm_scale, block_q, block_k)
-    return o, (q, k, v, qs, ks)
+    o, lse = _flash_forward(
+        q, k, v, qs, ks,
+        causal=causal, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+    )
+    return o, (q, k, v, qs, ks, o, lse)
 
 
 def _flash_bwd(causal, sm_scale, block_q, block_k, res, g):
-    q, k, v, qs, ks = res
-
-    def ref(q, k, v):
-        return mha_reference(
-            q, k, v, causal=causal, segment_ids=qs, kv_segment_ids=ks,
-            sm_scale=sm_scale,
-        )
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, qs, ks, o, lse = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, qs, ks, o, lse, g,
+        causal=causal, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+    )
     return dq, dk, dv, None, None
 
 

@@ -11,7 +11,12 @@ backend initialization) rather than os.environ alone.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# INTERNNAV_TPU_TESTS=1 keeps the real (axon TPU) backend so @pytest.mark.tpu
+# tests can run on hardware; default is the virtual 8-device CPU backend.
+_USE_TPU = os.environ.get("INTERNNAV_TPU_TESTS") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # silence XLA's AOT-cache "machine feature" error spam on cache reload
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -22,12 +27,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-assert jax.default_backend() == "cpu", jax.default_backend()
+if not _USE_TPU:
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
 import numpy as np
 import pytest

@@ -51,7 +51,7 @@ def test_decode_matches_prefill(text_model):
     _, _, caches = model.apply({"params": params}, embeds[:, : T - 1],
                                pos[:, :, : T - 1], return_cache=True)
     caches = pad_caches(caches, T + 2)
-    step_logits, _ = model.apply(
+    step_logits, _, _ = model.apply(
         {"params": params}, embeds[:, T - 1 : T], pos[:, :, T - 1 : T],
         caches, jnp.full((B,), T - 1), method=model.decode_step,
     )
@@ -135,6 +135,23 @@ def test_dual_system_agent_sync_mode():
     assert all(isinstance(a, int) for a in outs)
     agent.reset()
     assert agent.action_queue == [] and agent.latent is None
+
+
+@pytest.mark.slow
+def test_fused_s2_prompt_bucketing_compile_count():
+    """50 varied-length instructions must hit at most a handful of fused
+    compiles (prompts pad to PROMPT_BUCKET multiples; VERDICT r1 #6)."""
+    pol = InternVLAN1Policy.build(InternVLAN1Config.tiny("nextdit"))
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (56, 56, 3)).astype(np.uint8)
+    words = ["go", "left", "right", "hall", "door", "past", "the", "stairs"]
+    for i in range(50):
+        n_words = int(rs.randint(3, 60))
+        instr = " ".join(rs.choice(words) for _ in range(n_words))
+        pol.reset()
+        pol.s2_step(img, instr, max_new_tokens=4, fused=True)
+    fused_keys = [k for k in pol._jit_cache if k.startswith("fused_")]
+    assert len(fused_keys) <= 4, fused_keys
 
 
 def test_simple_tokenizer_roundtrip():

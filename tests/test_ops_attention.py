@@ -24,10 +24,11 @@ def _rand_qkv(rng, B=2, H=2, T=256, D=64, dtype=np.float32):
 
 def _run_kernel(q, k, v, qs=None, ks=None, causal=False):
     with pltpu.force_tpu_interpret_mode():
-        return _flash_forward(
+        o, _ = _flash_forward(
             q, k, v, qs, ks, causal=causal,
             sm_scale=q.shape[-1] ** -0.5, block_q=128, block_k=128,
         )
+    return o
 
 
 def test_flash_full_attention(rng):
@@ -94,6 +95,66 @@ def test_flash_backward_runs(rng):
     grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def _grad_parity(rng, *, causal, packed, T=256, B=1, H=2, D=64, dtype=np.float32,
+                 atol=2e-2):
+    """Tiled Pallas backward vs XLA-reference vjp."""
+    from internnav_tpu.ops.flash_attention import (
+        _flash_attention,
+        mha_reference,
+    )
+
+    q, k, v = _rand_qkv(rng, B, H, T, D, dtype)
+    if packed:
+        cu = jnp.asarray([0, T // 3, T // 2, T])
+        seg = segment_ids_from_cu_seqlens(cu, T)[None]
+        seg = jnp.broadcast_to(seg, (B, T))
+    else:
+        seg = None
+    sm = D ** -0.5
+
+    def pallas_loss(q, k, v):
+        o = _flash_attention(q, k, v, seg, seg, causal, sm, 128, 128)
+        return jnp.sum((o.astype(jnp.float32) * 1e-1) ** 2)
+
+    def ref_loss(q, k, v):
+        o = mha_reference(q, k, v, causal=causal, segment_ids=seg,
+                          kv_segment_ids=seg, sm_scale=sm)
+        return jnp.sum((o.astype(jnp.float32) * 1e-1) ** 2)
+
+    if jax.default_backend() == "cpu":
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(pallas_loss, argnums=(0, 1, 2))(q, k, v)
+    else:
+        got = jax.jit(jax.grad(pallas_loss, argnums=(0, 1, 2)))(q, k, v)
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=atol, rtol=2e-3, err_msg=f"d{name}")
+
+
+def test_flash_backward_parity_causal(rng):
+    _grad_parity(rng, causal=True, packed=False)
+
+
+def test_flash_backward_parity_full(rng):
+    _grad_parity(rng, causal=False, packed=False)
+
+
+def test_flash_backward_parity_packed_causal(rng):
+    _grad_parity(rng, causal=True, packed=True, T=384)
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("T", [4096, 8192])
+def test_flash_backward_parity_long_packed(rng, T):
+    """Gradient parity at training lengths (real TPU only; the XLA reference
+    materializes (T, T) here, the Pallas path must not)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs a TPU (interpret mode too slow at 4k+)")
+    _grad_parity(rng, causal=True, packed=True, T=T, H=2, dtype=np.float32,
+                 atol=5e-2)
 
 
 def test_gqa_decode_matches_repeat(rng):
