@@ -1,41 +1,215 @@
 """Benchmark: InternVLA-N1 dual-system inference actions/sec/chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...detail}.
 
-Measures one full dual-system macro-cycle on the TPU chip, matching the
-reference's partial_async schedule (internvla_n1_agent.py:210-241):
-  1 System-2 pass (multimodal prefill + 8-token greedy decode + latent
-  prefill) + 2 System-1 NextDiT denoise calls (4 actions each)
-  → 8 discrete actions per cycle.
+Default mode measures the flagship at TRUE Qwen2.5-VL-7B dimensions
+(hidden 3584, 28 heads / 4 KV heads, MLP 18944, vocab 152064, 32-block
+ViT-1280, NextDiT-12L/384d System-1) with random bf16 weights — no
+checkpoint can be downloaded here (zero egress), but the FLOPs/bytes are
+the real model's.
 
-Config note: this round runs a reduced-dimension N1 (same structure as the
-7B: Qwen decoder + windowed ViT + NextDiT; smaller dims) until converted
-7B weights land, so vs_baseline tracks framework/loop efficiency rather
-than 7B FLOPs. REF_ACTIONS_PER_SEC=6.7 is the A100 estimate for the torch
-reference's dual-system cycle (~1.1 s S2 generate + 2x ~0.05 s S1 denoise
-for 8 actions); the reference publishes no per-step latency (BASELINE.md).
+One macro-cycle matches the reference's partial_async schedule
+(internnav/agent/internvla_n1_agent.py:210-241): 1 System-2 pass
+(9-image multimodal prefill + 20-token greedy decode + cached traj-latent
+steps) + 2 System-1 denoise calls (4 actions each) -> 8 discrete actions.
+
+Hardware note: this bench runs on ONE TPU v5e chip (16 GB HBM). The 7B
+text trunk is 15.2 GB in bf16, so the full 28-layer model cannot be
+resident along with activations on a single chip. The cycle time is
+therefore measured at two decoder depths (default 4 and 12 layers, all
+other dims true) and extrapolated linearly to 28: decoder layers are
+identical, so t(L) = const + slope*L exactly, with the constant capturing
+everything depth-independent (ViT, lm_head reads, System-1, host/dispatch
+overhead). Both measured points and the fit are reported in the JSON.
+
+Baseline derivation (REF_ACTIONS_PER_SEC): the reference publishes no
+per-step latency, so the A100-80GB number is per-component speed-of-light
+arithmetic, deliberately GENEROUS to the reference (100% HBM efficiency
+on decode, zero python/HF-generate overhead). See docs/BENCH_METHOD.md
+for the full arithmetic; summary per 8-action cycle at bf16:
+
+  A100 80GB SXM: 312 TFLOP/s bf16 dense, 2039 GB/s HBM.
+  - ViT encode, 9x224x224 imgs (2304 merged-2x2 patch tokens through the
+    0.67B tower): ~3.1 TFLOP @ 45% MFU              = 22 ms
+  - S2 prefill ~700 multimodal tokens: 2*7.6e9*700  = 10.6 TFLOP @ 45%
+                                                     = 76 ms
+  - greedy decode, 20 tokens, memory-bound: 15.2 GB weight read/token
+    @ 100% of 2039 GB/s = 7.46 ms/token             = 149 ms
+  - generate_latents: the reference re-runs the FULL prefill AND the
+    vision tower (internvla_n1.py:320-347)           = 101 ms
+  - 2x System-1 NextDiT denoise (10 Euler steps, 32 samples; compute
+    ~0.2 TFLOP + loop overhead)                      = 30 ms
+  Total 378 ms/cycle -> 8 actions / 0.378 s          = 21.2 actions/s.
+
+(Our TPU cycle drops the second prefill: traj latents come from n_query
+cached decode steps, which is mathematically identical — the A100 number
+above still charges the reference only its own algorithm.)
 """
 
 from __future__ import annotations
 
+import argparse
+import gc
 import json
 import time
 
 import numpy as np
 
-REF_ACTIONS_PER_SEC = 6.7
-CYCLES = 5
-DECODE_TOKENS = 8
+# transparent per-component A100 estimate — see module docstring and
+# docs/BENCH_METHOD.md for the arithmetic
+REF_A100 = {
+    "vit_encode_ms": 22.2,
+    "s2_prefill_ms": 75.7,
+    "decode_20tok_ms": 149.2,
+    "generate_latents_ms": 101.0,
+    "s1_denoise_2x_ms": 30.0,
+}
+REF_CYCLE_MS = sum(REF_A100.values())
 ACTIONS_PER_CYCLE = 8
+REF_ACTIONS_PER_SEC = ACTIONS_PER_CYCLE / (REF_CYCLE_MS / 1e3)  # 21.2
+
+DECODE_TOKENS = 20
+FULL_LAYERS = 28
+MEASURE_LAYERS = (4, 12)
+CYCLES = 3
+IMAGE_HW = 224
+NUM_SAMPLE_TRAJS = 32
+
+REF_SMALL_ACTIONS_PER_SEC = 6.7  # round-1 toy-config estimate (--small)
 
 
-def main() -> None:
+def _full_n1_config(num_layers: int):
+    """True Qwen2.5-VL-7B dims with a reduced decoder depth."""
+    import jax.numpy as jnp
+
+    from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Config
+    from internnav_tpu.model.basemodel.internvla_n1.qwen_text import QwenTextConfig
+    from internnav_tpu.model.basemodel.internvla_n1.qwen_vision import QwenVisionConfig
+
+    text = QwenTextConfig(num_hidden_layers=num_layers, dtype=jnp.bfloat16)
+    vision = QwenVisionConfig(dtype=jnp.bfloat16)  # defaults are the real ViT
+    return InternVLAN1Config(text=text, vision=vision, system1="nextdit_async")
+
+
+def _random_bf16_params(model, cfg, image_hw: int):
+    """Materialize a random bf16 param tree directly on device.
+
+    flax init stores fp32 params (18.6 GB at 12 layers — over HBM), so we
+    eval_shape the real init then generate bf16 leaves in one jitted
+    program: weights ~ N(0, 0.02), biases 0, norm scales 1.
+    """
     import jax
+    import jax.numpy as jnp
 
-    # persistent compile cache: repeat bench runs skip the long remote
-    # compiles on the tunneled TPU
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
+
+    shapes = jax.eval_shape(
+        lambda rng: InternVLAN1Policy._init_params(model, cfg, rng, image_hw),
+        jax.random.PRNGKey(0),
+    )
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+    def make():
+        key = jax.random.PRNGKey(0)
+        out = []
+        for i, (path, sd) in enumerate(leaves):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name in ("bias", "b_ih", "b_hh"):
+                a = jnp.zeros(sd.shape, jnp.bfloat16)
+            elif name == "scale" or (sd.ndim == 1 and name.endswith("norm")):
+                a = jnp.ones(sd.shape, jnp.bfloat16)
+            else:
+                a = 0.02 * jax.random.normal(jax.random.fold_in(key, i),
+                                             sd.shape, jnp.bfloat16)
+            out.append(a)
+        return out
+
+    vals = jax.jit(make)()
+    return jax.tree_util.tree_unflatten(treedef, vals)
+
+
+def _measure_cycle(policy, cfg, instruction: str, cycles: int) -> float:
+    """Seconds per 8-action macro-cycle (1 S2 + 2 S1)."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (IMAGE_HW, IMAGE_HW, 3)).astype(np.uint8)
+    rgb2 = np.stack([img, img])[None]
+
+    def seed_history():
+        # 8 history frames + current = the saturated 9-image prompt the
+        # reference runs at (num_history=8, np.linspace sampling)
+        policy.reset()
+        policy.rgb_list = [img] * 8
+        policy.episode_idx = 8
+
+    def s2():
+        return policy.s2_step(img, instruction, max_new_tokens=DECODE_TOKENS)
+
+    def s1(latent):
+        return policy.s1_step_latent(rgb2, None, latent,
+                                     num_sample_trajs=NUM_SAMPLE_TRAJS)
+
+    seed_history()
+    out = s2()  # warmup/compile
+    latent = out.output_latent
+    if latent is None:
+        latent = jnp.zeros((1, cfg.n_query, cfg.text.hidden_size), jnp.bfloat16)
+    s1(latent)
+
+    t0 = time.perf_counter()
+    for _ in range(cycles):
+        seed_history()
+        out = s2()
+        lat = out.output_latent if out.output_latent is not None else latent
+        s1(lat)
+        s1(lat)
+    return (time.perf_counter() - t0) / cycles
+
+
+def bench_full() -> dict:
+    from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Model
+    from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
+
+    instruction = ("walk down the hallway past the kitchen then turn left "
+                   "and stop next to the round table")
+    points = {}
+    for L in MEASURE_LAYERS:
+        cfg = _full_n1_config(L)
+        model = InternVLAN1Model(cfg)
+        params = _random_bf16_params(model, cfg, IMAGE_HW)
+        policy = InternVLAN1Policy(model, params, cfg)
+        points[L] = _measure_cycle(policy, cfg, instruction, CYCLES)
+        del policy, params, model
+        gc.collect()
+
+    (l1, t1), (l2, t2) = sorted(points.items())
+    slope = (t2 - t1) / (l2 - l1)  # seconds per decoder layer
+    t_full = t2 + slope * (FULL_LAYERS - l2)
+    actions_per_sec = ACTIONS_PER_CYCLE / t_full
+    return {
+        "metric": "internvla_n1_dual_system_actions_per_sec_per_chip_7b",
+        "value": round(actions_per_sec, 2),
+        "unit": "actions/s",
+        "vs_baseline": round(actions_per_sec / REF_ACTIONS_PER_SEC, 3),
+        "detail": {
+            "dims": "Qwen2.5-VL-7B true dims (3584h/28kv4/18944mlp/152064v), "
+                    "32-block ViT-1280, NextDiT-12L, random bf16 weights",
+            "measured_cycle_s": {str(k): round(v, 4) for k, v in points.items()},
+            "extrapolation": f"t(L) = t({l2}) + (L-{l2})*{slope:.5f}s/layer "
+                             f"-> t({FULL_LAYERS}) = {t_full:.4f}s",
+            "cycle": f"1 S2 (9x224px imgs, ~700-token prefill, "
+                     f"{DECODE_TOKENS}-token greedy decode, cached traj "
+                     f"latents) + 2 S1 ({NUM_SAMPLE_TRAJS}-sample NextDiT) "
+                     f"= {ACTIONS_PER_CYCLE} actions",
+            "ref_a100_ms": REF_A100,
+            "ref_actions_per_sec": round(REF_ACTIONS_PER_SEC, 2),
+        },
+    }
+
+
+def bench_small() -> dict:
+    """Round-1 reduced-dimension smoke config (loop-efficiency tracking)."""
     import jax.numpy as jnp
 
     from __graft_entry__ import _small_n1_config
@@ -43,42 +217,57 @@ def main() -> None:
 
     cfg = _small_n1_config()
     policy = InternVLAN1Policy.build(cfg, image_hw=56)
-
-    img = np.random.RandomState(0).randint(0, 255, (224, 224, 3)).astype(np.uint8)
-    # history grows across steps; warm all used shapes first
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (224, 224, 3)).astype(np.uint8)
     rgb2 = np.stack([img, img])[None]
 
     def s2():
         return policy.s2_step(img, "walk to the end of the corridor and stop",
-                              max_new_tokens=DECODE_TOKENS)
+                              max_new_tokens=8)
 
     def s1(latent):
         return policy.s1_step_latent(rgb2, None, latent, num_sample_trajs=16)
 
-    # warmup/compile (first s2 + s1 shapes)
     policy.reset()
     out = s2()
     latent = out.output_latent
-    if latent is None:  # model emitted action text; use a zero latent for S1 timing
+    if latent is None:
         latent = jnp.zeros((1, cfg.n_query, cfg.text.hidden_size))
     s1(latent)
 
     t0 = time.perf_counter()
-    for _ in range(CYCLES):
+    for _ in range(5):
         policy.reset()
         out = s2()
         lat = out.output_latent if out.output_latent is not None else latent
         s1(lat)
         s1(lat)
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / 5
 
-    actions_per_sec = CYCLES * ACTIONS_PER_CYCLE / dt
-    print(json.dumps({
-        "metric": "internvla_n1_dual_system_actions_per_sec_per_chip",
-        "value": round(actions_per_sec, 2),
+    aps = ACTIONS_PER_CYCLE / dt
+    return {
+        "metric": "internvla_n1_dual_system_actions_per_sec_per_chip_small",
+        "value": round(aps, 2),
         "unit": "actions/s",
-        "vs_baseline": round(actions_per_sec / REF_ACTIONS_PER_SEC, 3),
-    }))
+        "vs_baseline": round(aps / REF_SMALL_ACTIONS_PER_SEC, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="reduced-dimension smoke config instead of 7B dims")
+    args = ap.parse_args()
+
+    import jax
+
+    # persistent compile cache: repeat bench runs skip the long remote
+    # compiles on the tunneled TPU
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    result = bench_small() if args.small else bench_full()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

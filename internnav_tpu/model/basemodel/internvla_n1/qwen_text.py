@@ -193,10 +193,16 @@ class QwenTextModel(nn.Module):
         return rope_cos_sin(position_ids, c.head_dim, c.rope_theta, dtype=jnp.float32)
 
     def __call__(self, inputs_embeds, position_ids, *, segment_ids=None,
-                 return_cache=False, output_hidden_states=False):
+                 return_cache=False, output_hidden_states=False,
+                 logits_indices=None):
         """Prefill. inputs_embeds (B, T, D); position_ids (3, B, T) or (B, T).
         Returns (logits, hidden, caches) — caches are per-layer (k, v) with
-        layout (B, T, KV, D)."""
+        layout (B, T, KV, D).
+
+        logits_indices (B,): compute logits only at those positions (shape
+        (B, 1, vocab)) — greedy decode needs just the last real position, and
+        at 7B dims the full-sequence lm_head is ~0.8 TFLOP + a 0.4 GB fp32
+        buffer per 700-token prompt."""
         cos, sin = self._cos_sin(position_ids)
         x = inputs_embeds
         caches = []
@@ -204,7 +210,11 @@ class QwenTextModel(nn.Module):
             x, cache = layer(x, cos, sin, segment_ids=segment_ids)
             caches.append(cache)
         hidden = self.norm(x)
-        logits = self._logits(hidden)
+        if logits_indices is not None:
+            sel = jnp.take_along_axis(hidden, logits_indices[:, None, None], axis=1)
+            logits = self._logits(sel)
+        else:
+            logits = self._logits(hidden)
         return logits, hidden, (caches if return_cache else None)
 
     def _logits(self, hidden):
@@ -283,13 +293,11 @@ def greedy_generate(
 
     logits, _, caches = model.apply(
         {"params": params}, inputs_embeds, position_ids, return_cache=True,
-        segment_ids=segment_ids, method=model.__call__,
+        segment_ids=segment_ids, logits_indices=prompt_lengths - 1,
+        method=model.__call__,
     )
     caches = pad_caches(caches, T + max_new_tokens + extra_cache_slots)
-    last_logits = jnp.take_along_axis(
-        logits, (prompt_lengths - 1)[:, None, None], axis=1
-    )[:, 0]
-    first_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+    first_tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
     eos = jnp.asarray(eos_token_ids)
 
     def body(state):
