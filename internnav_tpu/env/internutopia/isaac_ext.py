@@ -1,0 +1,274 @@
+"""Isaac Sim / InternUtopia extension registrations.
+
+Reference parity: internnav/env/utils/internutopia_extension/ — the
+`VLNEvalTask` (tasks/vln_eval_task.py:9-216), `VLNCamera`
+(sensors/vln_camera.py), `VLNH1Robot` (robots/h1.py), and the controller
+set. Everything here only runs when InternUtopia/Isaac is importable;
+`register()` raises otherwise. The module itself imports cleanly anywhere
+(the adapter-contract tests exercise it with no simulator), because the
+class definitions live inside `register()`.
+
+The task/controller *semantics* live in backend-neutral code —
+FakePhysicsVecEnv (vec_env.py) for the substep/finish_action FSM and
+H1SpeedController (loco.py) for the loco policy — so the Isaac classes
+below are thin bindings from InternUtopia's registries onto those
+implementations plus the Isaac-only pieces (lights, replicator capture,
+articulation actions).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+_REGISTERED = False
+
+
+def task_cfg_from_spec(spec) -> Dict[str, Any]:
+    """VLNEvalTaskSpec -> the dict InternUtopia's Config consumes as one
+    task config (reference generate_episode.py:38-107 output shape)."""
+    ep = spec.episode
+    return {
+        "type": "VLNEvalTask",
+        "scene_asset_path": spec.scene_asset,
+        "warm_up_step": spec.warm_up_step,
+        "max_step": spec.max_step,
+        "robot_flash": spec.robot_flash,
+        "one_step_stand_still": False,
+        "data": {
+            "path_key": spec.path_key,
+            "start_position": list(map(float, np.asarray(spec.start_position).ravel())),
+            "start_rotation": list(map(float, np.asarray(spec.start_rotation).ravel())),
+            "reference_path": np.asarray(ep.reference_path).tolist(),
+            "geodesic_distance": ep.geodesic_distance,
+            "instruction": {
+                "instruction_text": ep.instruction_text,
+                "instruction_tokens": (np.asarray(ep.instruction_tokens).tolist()
+                                       if ep.instruction_tokens is not None else []),
+            },
+        },
+        "metric": {"success_distance": spec.metric.success_distance},
+    }
+
+
+def register() -> None:
+    """Register VLNEvalTask / VLNCamera / VLNH1Robot / controllers with
+    InternUtopia. Raises RuntimeError when the stack is missing."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    try:
+        from internutopia.core.robot.controller import BaseController
+        from internutopia.core.robot.robot import BaseRobot
+        from internutopia.core.sensor.sensor import BaseSensor
+        from internutopia.core.task import BaseTask
+        from internutopia_extension.robots.h1 import H1Robot
+    except ImportError as e:
+        raise RuntimeError(
+            "InternUtopia modules could not be imported. "
+            "Make sure both repositories are installed and on PYTHONPATH."
+        ) from e
+
+    from internnav_tpu.env.checkers import DoneChecker
+    from internnav_tpu.env.internutopia.loco import H1RobotState, H1SpeedController
+    from internnav_tpu.env.metrics import VLNPEMetrics
+
+    @BaseTask.register("VLNEvalTask")
+    class VLNEvalTask(BaseTask):  # noqa: F811 (registry-owned)
+        """Macro-step-atomic VLN task (reference vln_eval_task.py:9-216)."""
+
+        def __init__(self, config, scene):
+            super().__init__(config, scene)
+            self.step_count = 0
+            self.data = config.data
+            self.warm_up_step = config.warm_up_step
+            self.config = config
+            self._done = None
+            self._fail_reason = ""
+
+        def load(self):
+            super().load()
+            self.robot_name = list(self.robots.keys())[0]
+            self.robot = self.robots[self.robot_name]
+            self.done_checker = DoneChecker(max_step=self.config.max_step)
+            self.metrics_acc = VLNPEMetrics(
+                reference_path=np.asarray(self.data["reference_path"]),
+                geodesic_distance=self.data["geodesic_distance"],
+                success_distance=self.config.metric["success_distance"],
+                path_key=self.data["path_key"],
+            )
+
+        def post_reset(self):
+            for robot in self.robots.values():
+                robot.post_reset()
+            self.robot = self.robots[self.robot_name]
+            pos, _ = self._poses()
+            self.metrics_acc.start(pos[:2])
+            self.done_checker.reset(pos)
+
+        def is_done(self) -> bool:
+            return bool(self._done) if self._done is not None else False
+
+        def _poses(self):
+            pre_position, pre_rotation = self.robot.articulation.get_world_pose()
+            return pre_position - self.env_offset, pre_rotation
+
+        def get_rgb_depth(self):
+            obs = {}
+            if "pano_camera_0" in self.robot.sensors:
+                cur = self.robot.sensors["pano_camera_0"].get_data()
+                obs["rgb"] = cur["rgba"][..., :3]
+                depth = np.asarray(cur["depth"], np.float32)
+                obs["depth"] = depth[..., None]
+            return obs
+
+        def get_observations(self):
+            obs: Dict[str, Any] = {"finish_action": False}
+            obs["globalgps"], obs["globalrotation"] = self._poses()
+            if self._done:
+                obs["finish_action"] = True
+                obs["metrics"] = self.metrics_acc.calc()
+                return {self.robot_name: obs}
+            action = self.robot.current_action
+            if action is None:
+                return {self.robot_name: obs}
+            name = list(action.keys())[0]
+            self.step_count += 1
+            if name == "stand_still":
+                if self.warm_up_step > 1:
+                    self.step_count -= 1
+                    self.warm_up_step -= 1
+                    self.robot.current_action = None
+                    return {self.robot_name: obs}
+                obs.update(self.get_rgb_depth())
+                if not self.config.robot_flash and not self.config.one_step_stand_still:
+                    self.warm_up_step = 50
+            elif name in ("move_by_discrete", "vln_move_by_speed",
+                          "vln_dp_move_by_speed"):
+                ctrl = self.robot.controllers[name]
+                if not ctrl.get_obs()["finished"]:
+                    if name == "move_by_discrete":
+                        self.robot.current_action = None
+                    return {self.robot_name: obs}
+                obs.update(self.get_rgb_depth())
+            elif name == "move_by_flash":
+                obs.update(self.get_rgb_depth())
+            elif name != "stop":
+                raise ValueError(f"Got invalid action name {name}!!!")
+
+            obs["finish_action"] = True
+            self.robot.current_action = None
+            pos, quat = self._poses()
+            done, reason = self.done_checker.update(
+                0 if name == "stop" else -1, pos, 0.0, quat)
+            self.metrics_acc.update(pos[:2], finish_action=True,
+                                    fail_reason="" if not reason else reason)
+            self._done = done
+            if done:
+                m = self.metrics_acc.calc()
+                if name == "stop":
+                    reason = "success" if m.get("success") else "not_reach_goal"
+                m["fail_reason"] = reason
+                self._fail_reason = reason
+                obs["metrics"] = m
+            obs["fail_reason"] = self._fail_reason
+            obs["instruction"] = self.data["instruction"]["instruction_text"]
+            obs["instruction_tokens"] = self.data["instruction"]["instruction_tokens"]
+            return {self.robot_name: obs}
+
+    @BaseSensor.register("VLNCamera")
+    class VLNCamera(BaseSensor):  # noqa: F811
+        """Replicator camera wrapper producing rgba+depth
+        (reference sensors/vln_camera.py)."""
+
+        def __init__(self, config, robot, scene):
+            super().__init__(config, robot, scene)
+            self.config = config
+            self._camera = None
+
+        def get_data(self) -> Dict:
+            data = {"rgba": self._camera.get_rgba(),
+                    "depth": self._camera.get_distance_to_image_plane()}
+            return self._make_ordered(data)
+
+        def post_reset(self):
+            from internutopia.core.sensor.camera import ICamera
+
+            if self._camera is not None:
+                self._camera.cleanup()
+            prim_path = self._robot.config.prim_path + "/" + self.config.prim_path
+            self._camera = ICamera.create(
+                name=self.config.name, prim_path=prim_path, rgba=True,
+                distance_to_image_plane=True, resolution=self.config.resolution,
+            )
+
+    @BaseRobot.register("VLNH1Robot")
+    class VLNH1Robot(H1Robot):  # noqa: F811
+        """H1 wrapper tracking current_action for macro-step atomicity
+        (reference robots/h1.py)."""
+
+        def __init__(self, config, scene):
+            super().__init__(config, scene)
+            self.current_action = None
+
+        def post_reset(self):
+            super().post_reset()
+            self._torso_link = self._rigid_body_map[self.config.prim_path + "/torso_link"]
+            self._imu_link = self._rigid_body_map[self.config.prim_path + "/imu_link"]
+
+        def apply_action(self, action: dict):
+            self.current_action = action
+            return super().apply_action(action)
+
+        def robot_state(self) -> H1RobotState:
+            base_pos, _ = self.articulation.get_world_pose()
+            torso_pos, torso_quat = self._torso_link.get_world_pose()
+            imu_pos, imu_quat = self._imu_link.get_world_pose()
+            pc = None
+            if "tp_pointcloud" in self.sensors:
+                pc = self.sensors["tp_pointcloud"].get_data().get("pointcloud")
+            return H1RobotState(
+                base_position=np.asarray(base_pos),
+                torso_position=np.asarray(torso_pos),
+                torso_quat=np.asarray(torso_quat),
+                imu_quat=np.asarray(imu_quat),
+                imu_ang_vel=np.asarray(self._imu_link.get_angular_velocity()),
+                joint_positions=np.asarray(self.articulation.get_joint_positions()),
+                joint_velocities=np.asarray(self.articulation.get_joint_velocities()),
+                ankle_height=float(self.get_ankle_height()),
+                pointcloud=pc,
+            )
+
+    @BaseController.register("VlnMoveBySpeedController")
+    class VlnMoveBySpeedController(BaseController):  # noqa: F811
+        """Loco speed controller binding: obs-building + jitted-MLP policy
+        live in H1SpeedController (loco.py)."""
+
+        def __init__(self, config, robot, scene):
+            super().__init__(config=config, robot=robot, scene=scene)
+            params = None
+            path = getattr(config, "policy_weights_path", None)
+            if path:
+                from internnav_tpu.env.internutopia.loco import convert_loco_policy
+
+                params = convert_loco_policy(path)
+            if params is not None:
+                from internnav_tpu.env.internutopia.loco import make_loco_mlp
+
+                _, _, fwd = make_loco_mlp()
+                self.impl = H1SpeedController(policy_fwd=fwd, policy_params=params)
+            else:
+                self.impl = H1SpeedController()
+
+        def action_to_control(self, action):
+            from internutopia.core.robot.articulation import ArticulationAction
+
+            targets = self.impl.action_to_control(self.robot.robot_state(), action)
+            return ArticulationAction(joint_positions=targets)
+
+        def get_obs(self):
+            return self.impl.get_obs()
+
+    _ = (VLNEvalTask, VLNCamera, VLNH1Robot, VlnMoveBySpeedController)
+    _REGISTERED = True

@@ -5,3 +5,6 @@ __all__ = ["Evaluator", "evaluator_registry", "VLNBatchedEvaluator"]
 from internnav_tpu.evaluator.vn_evaluator import VNPointGoalEvaluator  # noqa: E402
 
 __all__.append("VNPointGoalEvaluator")
+from internnav_tpu.evaluator.vln_pe_evaluator import VLNPEEvaluator  # noqa: E402
+
+__all__.append("VLNPEEvaluator")
