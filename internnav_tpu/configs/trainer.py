@@ -26,6 +26,9 @@ class MeshCfg(_Cfg):
     param_sharding: str = "replicated"
     fsdp_axis: str = "dp"
     tp_axis: Optional[str] = None
+    # with param_sharding='tp': also FSDP-shard the non-TP params over the
+    # fsdp/dp axis (ZeRO-3 of the rest, the 64-GPU ZeRO-2 equivalent)
+    fsdp_rest: bool = False
     remat: bool = False  # jax.checkpoint on block boundaries
 
 

@@ -84,6 +84,15 @@ class Trainer:
         if cfg.mesh.param_sharding == "fsdp":
             self.param_sharding = fsdp_param_sharding(self.mesh, policy.params,
                                                       axis=cfg.mesh.fsdp_axis)
+        elif cfg.mesh.param_sharding == "tp":
+            from internnav_tpu.parallel.tp import qwen_tp_sharding
+
+            self.param_sharding = qwen_tp_sharding(
+                self.mesh, policy.params,
+                dp_axis=cfg.mesh.fsdp_axis,
+                tp_axis=cfg.mesh.tp_axis or "tp",
+                fsdp_rest=cfg.mesh.fsdp_rest,
+            )
         else:
             rep = replicated(self.mesh)
             self.param_sharding = jax.tree_util.tree_map(lambda _: rep, policy.params)

@@ -35,6 +35,70 @@ def test_gather_traj_blocks_alignment():
 
 
 @pytest.mark.slow
+def test_n1_trainer_tp_fsdp_combined(tmp_path):
+    """Production Trainer.__init__ with param_sharding='tp' + fsdp_rest on a
+    dp=4 x tp=2 mesh: Megatron specs on the decoder, dp-FSDP on other large
+    params, and one real train step (VERDICT r1 #5)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from internnav_tpu.configs.trainer import ExpCfg, MeshCfg
+    from internnav_tpu.dataset.internvla_n1_dataset import (
+        N1SampleDataset,
+        n1_packed_collate_fn,
+        tokenize_sample,
+        write_synthetic_n1_dataset,
+    )
+    from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Config
+    from internnav_tpu.model.basemodel.internvla_n1.policy import (
+        InternVLAN1Policy,
+        SimpleTokenizer,
+    )
+    from internnav_tpu.trainer.internvla_n1_trainer import InternVLAN1Trainer
+
+    cfg_model = InternVLAN1Config.tiny("nextdit")
+    pol = InternVLAN1Policy.build(cfg_model, image_hw=28)
+    tok = SimpleTokenizer(cfg_model.text.vocab_size)
+    pol.tokenizer = tok
+    exp = ExpCfg(name="n1tp", model_name="internvla_n1",
+                 output_dir=str(tmp_path / "out"),
+                 mesh=MeshCfg(axes={"dp": 4, "tp": 2},
+                              param_sharding="tp", fsdp_rest=True))
+    trainer = InternVLAN1Trainer(exp, pol, total_steps=1)
+
+    # Megatron TP specs on the decoder
+    l0 = trainer.param_sharding["language_model"]["layers_0"]
+    assert l0["self_attn"]["q_proj"]["kernel"].spec == P(None, "tp")
+    assert l0["self_attn"]["o_proj"]["kernel"].spec == P("tp", None)
+    assert l0["mlp"]["down_proj"]["kernel"].spec == P("tp", None)
+
+    # fsdp_rest: every large divisible non-LLM param is dp-sharded
+    found_dp = []
+
+    def check(path, sh):
+        keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        if keys[0] != "language_model" and "dp" in jax.tree_util.tree_leaves(
+                [s for s in sh.spec if s]):
+            found_dp.append(keys)
+
+    jax.tree_util.tree_map_with_path(check, trainer.param_sharding)
+    assert found_dp, "fsdp_rest sharded nothing outside the decoder"
+
+    # one real sharded train step through the packed pipeline
+    path = write_synthetic_n1_dataset(str(tmp_path / "store.bin"),
+                                      n_episodes=2, T=6, hw=28)
+    ds = N1SampleDataset(path, predict_step_nums=cfg_model.predict_step_nums,
+                         num_history=2)
+    tpi = pol._tokens_per_image((28, 28))
+    rows = [tokenize_sample(s, tok, tokens_per_image=tpi,
+                            n_query=cfg_model.n_query) for s in list(ds)[:2]]
+    batch = n1_packed_collate_fn(rows, max_len=256,
+                                 predict_step_nums=cfg_model.predict_step_nums)
+    m = trainer.train_on_batches([batch])
+    assert np.isfinite(m["loss"])
+
+
+@pytest.mark.slow
 def test_n1_trainer_step_and_freeze(tmp_path):
     from internnav_tpu.configs.trainer import ExpCfg, MeshCfg
     from internnav_tpu.dataset.internvla_n1_dataset import (
