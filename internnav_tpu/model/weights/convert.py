@@ -276,3 +276,148 @@ def convert_gru(sd: Dict[str, np.ndarray], name: str) -> Dict[str, np.ndarray]:
         "b_ih": sd[name + ".bias_ih_l0"],
         "b_hh": sd[name + ".bias_hh_l0"],
     }
+
+
+def convert_lstm_bidir(sd: Dict[str, np.ndarray], name: str) -> Dict[str, np.ndarray]:
+    """torch bidirectional LSTM/GRU layer-0 → ops.rnn params (fwd + rev)."""
+    out = convert_gru(sd, name)
+    if name + ".weight_ih_l0_reverse" in sd:
+        out.update({
+            "rev_w_ih": sd[name + ".weight_ih_l0_reverse"],
+            "rev_w_hh": sd[name + ".weight_hh_l0_reverse"],
+            "rev_b_ih": sd[name + ".bias_ih_l0_reverse"],
+            "rev_b_hh": sd[name + ".bias_hh_l0_reverse"],
+        })
+    return out
+
+
+def t_conv1d(sd, name, dest, params):
+    """torch Conv1d kernel_size=1 (O, I, 1) → Dense kernel (I, O)."""
+    params[dest + "/kernel"] = np.ascontiguousarray(sd[name + ".weight"][:, :, 0].T)
+    if name + ".bias" in sd:
+        params[dest + "/bias"] = sd[name + ".bias"]
+
+
+def strip_prefixes(sd: Dict[str, np.ndarray],
+                   prefixes=("module.", "net.")) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+def _tv_cnn_keys(sd: Dict[str, np.ndarray], enc_prefix: str) -> Dict[str, np.ndarray]:
+    """Rewrite the reference TorchVisionResNet `cnn.` Sequential indices to
+    torchvision attribute names (resnet_encoders.py:144: cnn.0=conv1,
+    cnn.1=bn1, cnn.4..7=layer1..4)."""
+    remap = {"cnn.0.": "conv1.", "cnn.1.": "bn1.", "cnn.4.": "layer1.",
+             "cnn.5.": "layer2.", "cnn.6.": "layer3.", "cnn.7.": "layer4."}
+    out = {}
+    for k, v in sd.items():
+        if not k.startswith(enc_prefix):
+            continue
+        rest = k[len(enc_prefix):]
+        for old, new in remap.items():
+            if rest.startswith(old):
+                rest = new + rest[len(old):]
+                break
+        out[rest] = v
+    return out
+
+
+def _reorder_flatten_linear(kernel: np.ndarray, channels: int,
+                            tokens: int) -> np.ndarray:
+    """Torch flattens (B, C, T) channel-major before a Linear; our encoders
+    emit (B, T, C) token-major. Permute the converted kernel's input rows so
+    ours[t*C + c] = torch[c*T + t]."""
+    out = kernel.shape[1]
+    return np.ascontiguousarray(
+        kernel.reshape(channels, tokens, out).transpose(1, 0, 2)
+        .reshape(channels * tokens, out))
+
+
+def _spatial_embed(w: np.ndarray) -> np.ndarray:
+    """The reference appends spatial embeddings via `view(1, -1, h, w)`
+    (resnet_encoders.py:199-216) — a raw reshape of the (h*w, dim) table to
+    (dim, h, w), NOT a transpose. Our flax encoders index the table as
+    [token, dim], so convert: ours[t, d] = w.flat[d * (h*w) + t]."""
+    n, d = w.shape
+    return np.ascontiguousarray(w.reshape(d, n).T)
+
+
+# ------------------------------------------------------------- full policies
+def convert_cma_policy(sd: Dict[str, np.ndarray],
+                       rgb_version: str = "resnet50") -> Dict[str, Any]:
+    """Reference CMANet state dict (cma_policy.py:131-242 module names) →
+    complete CMANet (flax) param tree."""
+    sd = strip_prefixes(sd)
+    p: Dict[str, np.ndarray] = {}
+    # text/visual encoders
+    instr = convert_lstm_bidir(sd, "instruction_encoder.encoder_rnn")
+    instr["embedding"] = sd["instruction_encoder.embedding_layer.weight"]
+    depth = convert_habitat_resnet_encoder(sd, prefix="depth_encoder.visual_encoder.")
+    rgb = convert_torchvision_resnet(_tv_cnn_keys(sd, "rgb_encoder."), rgb_version)
+    rgb["spatial_embeddings"] = _spatial_embed(sd["rgb_encoder.spatial_embeddings.weight"])
+    # heads / fusion
+    t_linear(sd, "rgb_linear.2", "rgb_linear", p)
+    t_linear(sd, "depth_linear.1", "depth_linear", p)
+    # depth_linear consumes torch's channel-major flatten of (B, C, 16)
+    dl = p["depth_linear/kernel"]
+    p["depth_linear/kernel"] = _reorder_flatten_linear(dl, dl.shape[0] // 16, 16)
+    t_conv1d(sd, "rgb_kv", "rgb_kv", p)
+    t_conv1d(sd, "depth_kv", "depth_kv", p)
+    t_conv1d(sd, "text_k", "text_k", p)
+    t_linear(sd, "state_q", "state_q", p)
+    t_linear(sd, "text_q", "text_q", p)
+    t_linear(sd, "second_state_compress.0", "second_state_compress", p)
+    t_linear(sd, "progress_monitor", "progress_monitor", p)
+    t_linear(sd, "action_distribution.linear", "action_head", p)
+    tree = unflatten(p)
+    tree.update({
+        "instruction_encoder": instr,
+        "rgb_encoder": rgb,
+        "depth_encoder": {
+            "visual_encoder": depth,
+            "spatial_embeddings": _spatial_embed(
+                sd["depth_encoder.spatial_embeddings.weight"]),
+        },
+        "prev_action_embed": {"embedding": sd["prev_action_embedding.weight"]},
+        "state_encoder": convert_gru(sd, "state_encoder.rnn"),
+        "second_state_encoder": convert_gru(sd, "second_state_encoder.rnn"),
+    })
+    return tree
+
+
+def convert_seq2seq_policy(sd: Dict[str, np.ndarray],
+                           rgb_version: str = "resnet50") -> Dict[str, Any]:
+    """Reference Seq2SeqNet state dict (seq2seq_policy.py:128-179) →
+    complete Seq2SeqNet (flax) param tree."""
+    sd = strip_prefixes(sd)
+    p: Dict[str, np.ndarray] = {}
+    instr = convert_lstm_bidir(sd, "instruction_encoder.encoder_rnn")
+    instr["embedding"] = sd["instruction_encoder.embedding_layer.weight"]
+    depth = convert_habitat_resnet_encoder(sd, prefix="depth_encoder.visual_encoder.")
+    rgb = convert_torchvision_resnet(_tv_cnn_keys(sd, "rgb_encoder."), rgb_version)
+    t_linear(sd, "rgb_encoder.fc.1", "rgb_encoder/fc", p)
+    t_linear(sd, "depth_encoder.visual_fc.1", "depth_encoder/visual_fc", p)
+    # visual_fc consumes torch's channel-major flatten of (B, C, 4, 4)
+    vf = p["depth_encoder/visual_fc/kernel"]
+    p["depth_encoder/visual_fc/kernel"] = _reorder_flatten_linear(
+        vf, vf.shape[0] // 16, 16)
+    t_linear(sd, "progress_monitor", "progress_monitor", p)
+    t_linear(sd, "action_distribution.linear", "action_head", p)
+    tree = unflatten(p)
+    rgb.update(tree.pop("rgb_encoder", {}))
+    depth_extra = tree.pop("depth_encoder", {})
+    tree.update({
+        "instruction_encoder": instr,
+        "rgb_encoder": rgb,
+        "depth_encoder": {"visual_encoder": depth, **depth_extra},
+        "state_encoder": convert_gru(sd, "state_encoder.rnn"),
+    })
+    if "prev_action_embedding.weight" in sd:
+        tree["prev_action_embed"] = {"embedding": sd["prev_action_embedding.weight"]}
+    return tree
