@@ -102,12 +102,17 @@ class InternVLAN1Policy:
         "ahead of you is ",
         "in your sight is ",
     ]
+    #: reference init_prompts (internvla_n1_policy.py:61-66): the absolute
+    #: pixel-goal task prompt
     SYSTEM_PROMPT = (
         "You are an autonomous navigation assistant. Your task is to "
-        "<instruction>. Devise an action sequence to follow the instruction "
-        "using the four actions: TURN LEFT (←) or TURN RIGHT (→) by 15 "
-        "degrees, MOVE FORWARD (↑) by 25 centimeters, or STOP."
+        "<instruction>. Where should you go next to stay on track? Please "
+        "output the next waypoint's coordinates in the image. Please output "
+        "STOP when you have successfully completed the task."
     )
+    #: the Qwen chat template injects this system message when the first
+    #: message isn't a system turn
+    CHAT_SYSTEM = "You are a helpful assistant."
 
     def __init__(self, model: InternVLAN1Model, params, cfg: InternVLAN1Config,
                  tokenizer=None):
@@ -217,16 +222,31 @@ class InternVLAN1Policy:
 
     def _build_prompt_ids(self, instruction: str, n_images: int,
                           image_hw: Tuple[int, int]) -> np.ndarray:
-        """Qwen chat template with expanded image-token runs."""
+        """Qwen chat template with expanded image-token runs.
+
+        Byte-for-byte parity with the reference's
+        processor.apply_chat_template path (internvla_n1_policy.py:110-165):
+        the user text is built as `<prompt> These are your historical
+        observations: <image>\\n...<image>\\n. <conjunction><image>.`, passed
+        through split_and_clean (which strips whitespace/newlines around
+        the image placeholders), then rendered with the Qwen template —
+        default system message first, image placeholders as
+        <|vision_start|><|image_pad|>*n<|vision_end|> with no surrounding
+        spaces, and a trailing assistant header."""
+        from internnav_tpu.model.utils.vln_utils import split_and_clean
+
         n_img_tok = self._tokens_per_image(image_hw)
         img_block = VISION_START + "<|image_pad|>" * n_img_tok + VISION_END
-        sys_text = self.SYSTEM_PROMPT.replace("<instruction>", instruction)
+        value = self.SYSTEM_PROMPT.replace("<instruction>.", instruction)
         history = n_images - 1
-        body = sys_text
         if history > 0:
-            body += " These are your historical observations: " + img_block * history + "."
-        body += f" {self.conjunctions[0]}{img_block}."
-        text = (f"{IM_START}user\n{body}{IM_END}\n{IM_START}assistant\n")
+            value += (" These are your historical observations: "
+                      + "<image>\n" * history + ".")
+        value += f" {self.conjunctions[0]}<image>."
+        body = "".join(img_block if part == "<image>" else part
+                       for part in split_and_clean(value))
+        text = (f"{IM_START}system\n{self.CHAT_SYSTEM}{IM_END}\n"
+                f"{IM_START}user\n{body}{IM_END}\n{IM_START}assistant\n")
         return np.asarray(self.tokenizer.encode(text), np.int64)[None]
 
     # ------------------------------------------------------------ fused s2
