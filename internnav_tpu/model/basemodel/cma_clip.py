@@ -32,13 +32,26 @@ class CMACLIPNet(nn.Module):
     def setup(self):
         c = self.cfg
         H = c.state_encoder.hidden_size
-        self.instruction_encoder = LanguageEncoder(
-            vocab_size=c.text_encoder.vocab_size,
-            hidden_size=c.text_encoder.hidden_size,
-            num_layers=c.text_encoder.num_l_layers,
-            num_heads=8,
-            intermediate_size=4 * c.text_encoder.hidden_size,
-        )
+        if getattr(c.text_encoder, "model_name", "") == "clip-long":
+            # reference cma_clip path (cma_policy.py:141-143): Long-CLIP
+            # text transformer + txt_linear_512_to_256
+            from internnav_tpu.model.encoder.longclip import LongCLIPTextEncoder
+
+            self.instruction_encoder = LongCLIPTextEncoder(
+                vocab_size=c.text_encoder.vocab_size,
+                width=c.text_encoder.hidden_size,
+                layers=c.text_encoder.num_l_layers,
+                heads=getattr(c.text_encoder, "num_heads", 8),
+                context_length=getattr(c.text_encoder, "max_length", 248),
+            )
+        else:
+            self.instruction_encoder = LanguageEncoder(
+                vocab_size=c.text_encoder.vocab_size,
+                hidden_size=c.text_encoder.hidden_size,
+                num_layers=c.text_encoder.num_l_layers,
+                num_heads=8,
+                intermediate_size=4 * c.text_encoder.hidden_size,
+            )
         self.txt_proj = nn.Dense(256)  # txt_linear_512_to_256 equivalent
         self.rgb_tower = CLIPVisionTower(
             width=getattr(c, "vit_width", 768),
