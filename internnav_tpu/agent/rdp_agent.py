@@ -101,7 +101,7 @@ class RdpAgent(Agent):
         stop_flags = np.zeros((n,), bool)
         if need_act:
             self._rng, sub = jax.random.split(self._rng)
-            traj, _, _, stop_progress = self.policy.forward(
+            traj, _, _, stop_progress, _ = self.policy.forward(
                 dict(base, mode="act", rng=sub)
             )
             waypoints = self.policy.unnormalize_actions(np.asarray(traj), cumsum=False)

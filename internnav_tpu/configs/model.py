@@ -86,6 +86,14 @@ class ProgressMonitorCfg(_Cfg):
     concat_state_txt: bool = True
 
 
+class DistancePredictorCfg(_Cfg):
+    """Aux distance-to-goal head (reference rdp_policy.py:267-272,643-647;
+    off in the shipped rdp_cfg but supported)."""
+
+    use: bool = False
+    normalize: bool = False
+
+
 class ImuEncoderCfg(_Cfg):
     use: bool = False
     input_size: int = 4
@@ -157,6 +165,7 @@ class ModelCfg(_Cfg):
     cross_modal_encoder: Optional[CrossModalEncoderCfg] = None
     state_encoder: StateEncoderCfg = StateEncoderCfg()
     progress_monitor: ProgressMonitorCfg = ProgressMonitorCfg()
+    distance_predictor: Optional[DistancePredictorCfg] = None
     imu_encoder: Optional[ImuEncoderCfg] = None
     prev_action_encoder: Optional[PrevActionEncoderCfg] = None
     diffusion_policy: Optional[DiffusionPolicyCfg] = None

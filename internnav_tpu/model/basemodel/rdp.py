@@ -86,6 +86,13 @@ class RDPNet(nn.Module):
         self.action_type_embeds = nn.Embed(10, dp.n_emb)
         self.progress_monitor = DistanceNetwork(normalize=True)
         self.stop_progress_predictor = DistanceNetwork(normalize=True)
+        # optional distance-to-goal head on the GRU state (reference
+        # rdp_policy.py:267-272, 643-647; off in the shipped rdp_cfg)
+        if c.distance_predictor is not None and c.distance_predictor.use:
+            self.distance_pred_net = DistanceNetwork(
+                normalize=c.distance_predictor.normalize)
+        else:
+            self.distance_pred_net = None
         self.scheduler = DDPMScheduler(
             num_train_timesteps=dp.num_train_timesteps,
             beta_schedule="squaredcos_cap_v2",
@@ -137,16 +144,17 @@ class RDPNet(nn.Module):
         stop_progress = self.stop_progress_predictor(
             jnp.concatenate([state, txt_img[:, 0]], axis=1)
         )
+        distance = (self.distance_pred_net(state)
+                    if self.distance_pred_net is not None else None)
         n_img = img_txt.shape[1]
-        return cond, type_embeds, rnn_out, progress, stop_progress, n_img
+        return cond, type_embeds, rnn_out, progress, stop_progress, distance, n_img
 
     # ------------------------------------------------------------ training
     def train_forward(self, observations, rnn_states, prev_actions, masks, rng):
         """Predict ε on noised gt actions + aux heads. observations['actions']
         are normalized (B, len_traj_pred, na)."""
-        cond, type_embeds, rnn_out, progress, stop_progress, n_img = self._conditioning(
-            observations, rnn_states, prev_actions, masks
-        )
+        cond, type_embeds, rnn_out, progress, stop_progress, distance, n_img = \
+            self._conditioning(observations, rnn_states, prev_actions, masks)
         dp = self.cfg.diffusion_policy
         naction = observations["actions"]
         B = naction.shape[0]
@@ -163,16 +171,15 @@ class RDPNet(nn.Module):
         cond_mask = mask_rows[:, None] * jnp.asarray(tok_is_maskable)[None]
 
         eps_pred = self.action_dp_pred_net(noisy, t, cond, type_embeds, cond_mask)
-        return eps_pred, noise, rnn_out, progress, stop_progress
+        return eps_pred, noise, rnn_out, progress, stop_progress, distance
 
     # ----------------------------------------------------------- inference
     def denoise(self, observations, rnn_states, prev_actions, masks, rng,
                 guidance_scale: float = 1.5):
         """Full CFG denoise loop → normalized action trajectory
         (B, len_traj_pred, na); one lax.scan over scheduler steps."""
-        cond, type_embeds, rnn_out, progress, stop_progress, n_img = self._conditioning(
-            observations, rnn_states, prev_actions, masks
-        )
+        cond, type_embeds, rnn_out, progress, stop_progress, distance, n_img = \
+            self._conditioning(observations, rnn_states, prev_actions, masks)
         dp = self.cfg.diffusion_policy
         B = cond.shape[0]
         na = self.num_actions
@@ -205,7 +212,7 @@ class RDPNet(nn.Module):
 
         traj = self.scheduler.denoise_scan(predict_eps, x_init,
                                            jax.random.fold_in(rng, 1))
-        return traj, rnn_out, progress, stop_progress
+        return traj, rnn_out, progress, stop_progress, distance
 
     def __call__(self, observations, rnn_states, prev_actions, masks,
                  mode: str = "update_rnn", rng: Optional[jax.Array] = None):

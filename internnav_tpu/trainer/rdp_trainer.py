@@ -30,7 +30,7 @@ class RDPTrainer(Trainer):
         )
         masks = batch.get("masks", jnp.ones((B,)))
 
-        eps_pred, noise, _, progress, stop_progress = self.policy.module.apply(
+        eps_pred, noise, _, progress, stop_progress, distance = self.policy.module.apply(
             {"params": params}, obs, rnn_states, prev_actions, masks,
             mode="train", rng=rng,
         )
@@ -51,7 +51,11 @@ class RDPTrainer(Trainer):
                 (stop_progress.reshape(B) - batch["stop_progress"].reshape(B)) ** 2
             ) * self.stop_loss_alpha
 
-        loss = diffusion_loss + progress_loss + stop_loss
+        dist_loss = jnp.zeros(())
+        if distance is not None and "distance" in batch:
+            dist_loss = jnp.mean(
+                (distance.reshape(B) - batch["distance"].reshape(B)) ** 2)
+        loss = diffusion_loss + progress_loss + stop_loss + dist_loss
         return loss, {
             "diffusion_loss": diffusion_loss,
             "progress_loss": progress_loss,

@@ -93,6 +93,14 @@ class ProgressLogger:
             "total_steps": float(total_steps),
             "total_time_s": total_time,
             "mean_fps": (total_steps / total_time) if total_time > 0 else 0.0,
+            # per-trajectory fps — the reference's published runtime metric
+            # (progress_log_multi_util.py:75-89 last_log)
+            "trajectories": [
+                {"key": r.key, "steps": r.steps,
+                 "duration_s": round(r.duration, 4), "fps": round(r.fps, 3),
+                 "result": r.result}
+                for r in done
+            ],
         }
         get_logger(self.name).info("progress report: %s", summary)
         if self.log_dir:

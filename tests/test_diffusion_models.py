@@ -89,9 +89,11 @@ def test_rdp_modes(tmp_path):
             "prev_actions": jnp.zeros((n, cfg.len_traj_act, 3)), "masks": jnp.ones((n,))}
     state, rnn = pol.forward(dict(base, mode="update_rnn"))
     assert state.shape == (n, H)
-    traj, rnn2, prog, stop = pol.forward(dict(base, mode="act", rng=jax.random.PRNGKey(0)))
+    traj, rnn2, prog, stop, dist = pol.forward(
+        dict(base, mode="act", rng=jax.random.PRNGKey(0)))
     assert traj.shape == (n, cfg.diffusion_policy.len_traj_pred, 3)
     assert 0 <= float(prog[0, 0]) <= 1
+    assert dist is None  # distance head off in the shipped rdp_cfg
     wp = pol.unnormalize_actions(np.asarray(traj), cumsum=False)
     assert np.abs(wp[..., 0]).max() <= 0.5  # clip_sample bounds deltas
     # save / tolerant load round trip
@@ -100,6 +102,33 @@ def test_rdp_modes(tmp_path):
     l1 = jax.tree_util.tree_leaves(pol.params)[0]
     l2 = jax.tree_util.tree_leaves(pol2.params)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
+
+
+@pytest.mark.slow
+def test_rdp_distance_head():
+    """distance_predictor.use=True adds the aux distance head on the GRU
+    state (reference rdp_policy.py:267-272, 643-647)."""
+    from internnav_tpu.configs.model import DistancePredictorCfg
+
+    cfg = tiny_rdp_cfg()
+    cfg.distance_predictor = DistancePredictorCfg(use=True, normalize=True)
+    pol = get_policy("rdp").build(cfg)
+    n = 2
+    obs = {
+        "instruction": jnp.ones((n, 12), jnp.int32) * 2,
+        "rgb": jnp.zeros((n, 224, 224, 3), jnp.float32),
+        "depth": jnp.zeros((n, 256, 256, 1), jnp.float32),
+        "imu": jnp.zeros((n, 3), jnp.float32),
+        "actions": jnp.zeros((n, cfg.diffusion_policy.len_traj_pred, 3), jnp.float32),
+    }
+    H = cfg.state_encoder.hidden_size
+    base = {"observations": obs, "rnn_states": jnp.zeros((n, 1, H)),
+            "prev_actions": jnp.zeros((n, cfg.len_traj_act, 3)),
+            "masks": jnp.ones((n,))}
+    _, _, _, _, dist = pol.forward(dict(base, mode="act",
+                                        rng=jax.random.PRNGKey(0)))
+    assert dist is not None and np.asarray(dist).shape[0] == n
+    assert 0 <= float(np.asarray(dist)[0, 0]) <= 1  # normalized sigmoid
 
 
 @pytest.mark.slow
