@@ -66,14 +66,34 @@ class InternutopiaEnv(Env):
         if backend == "fake_physics":
             from internnav_tpu.env.internutopia.vec_env import FakePhysicsVecEnv
 
-            self.env = FakePhysicsVecEnv(
-                self.task_specs,
+            kw = dict(
                 env_num=env_cfg.env_num,
                 robot_name=self.task_cfg.robot_name,
                 rgb_hw=tuple(self.task_cfg.camera_resolution),
                 use_loco=bool(s.get("use_loco", False)),
                 one_step_stand_still=self.task_cfg.one_step_stand_still,
             )
+            dist = s.get("distribution_config")
+            if dist and int(dist.get("proc_num", 1)) > 1:
+                # Ray-equivalent sim process distribution (reference
+                # internutopia_env.py:54-56): proc_num workers, env_num
+                # envs each, task specs dealt round-robin
+                from internnav_tpu.env.internutopia.proc_pool import (
+                    ProcessVecEnv,
+                    make_fake_physics_env,
+                )
+
+                n = int(dist["proc_num"])
+                shards = [self.task_specs[i::n] for i in range(n)]
+                self.env = ProcessVecEnv(
+                    make_fake_physics_env,
+                    shard_args=[(sh,) for sh in shards],
+                    shard_kwargs=[dict(kw) for _ in range(n)],
+                    env_num_per_proc=env_cfg.env_num,
+                )
+            else:
+                self.env = FakePhysicsVecEnv(self.task_specs, **kw)
+            self.env_num = self.env.env_num  # pool total = proc_num * env_num
         else:
             try:
                 from internutopia.core.config import Config, SimConfig

@@ -44,6 +44,11 @@ class QwenTextConfig:
     mrope_section: Tuple[int, ...] = (16, 24, 24)
     tie_word_embeddings: bool = False
     dtype: Any = jnp.bfloat16
+    #: 'bf16' (parity default) or 'int8' — weight-only quantization of the
+    #: projection matrices (per-output-channel symmetric scales). Greedy
+    #: decode of a 7B is HBM-bound on weight reads; int8 halves the bytes
+    #: AND lets the full 28-layer model stay resident in a v5e's 16 GB.
+    weight_dtype: str = "bf16"
 
     @classmethod
     def tiny(cls) -> "QwenTextConfig":
@@ -51,6 +56,68 @@ class QwenTextConfig:
         return cls(vocab_size=512, hidden_size=64, intermediate_size=128,
                    num_hidden_layers=2, num_attention_heads=4,
                    num_key_value_heads=2, head_dim=16, mrope_section=(2, 3, 3))
+
+
+class QuantDense(nn.Module):
+    """Weight-only int8 Dense: kernel_q int8 (in, out) + per-output-channel
+    fp32 scale (w ≈ kernel_q * scale). The dot consumes the int8 operand
+    directly (XLA fuses the widening convert into the matmul read), so HBM
+    traffic on the weight is one byte per element."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q",
+            lambda key, shape: jax.random.randint(key, shape, -127, 128, jnp.int8),
+            (in_f, self.features),
+        )
+        scale = self.param("scale_q", nn.initializers.constant(0.01),
+                           (self.features,))
+        y = jnp.dot(x.astype(self.dtype), kernel_q.astype(self.dtype))
+        y = y * scale.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def _proj(cfg: QwenTextConfig, features: int, use_bias: bool, name: str):
+    """Dense or QuantDense per cfg.weight_dtype."""
+    if cfg.weight_dtype == "int8":
+        return QuantDense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+
+
+def quantize_qwen_text_params(params: Dict, per_channel_axis: int = 0) -> Dict:
+    """bf16/f32 QwenTextModel params → int8 weight-only tree (kernel_q +
+    scale_q per projection; norms/embeddings/biases unchanged). Symmetric
+    per-output-channel max scaling."""
+
+    def convert(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "kernel" in v and k != "embed_tokens":
+                    w = np.asarray(v["kernel"], np.float32)
+                    s = np.abs(w).max(axis=per_channel_axis) / 127.0
+                    s = np.where(s == 0, 1e-8, s)
+                    q = np.clip(np.round(w / s[None]), -127, 127).astype(np.int8)
+                    new = {"kernel_q": q, "scale_q": s.astype(np.float32)}
+                    if "bias" in v:
+                        new["bias"] = v["bias"]
+                    out[k] = new
+                else:
+                    out[k] = convert(v)
+            else:
+                out[k] = v
+        return out
+
+    return convert(params)
 
 
 class RMSNorm(nn.Module):
@@ -86,9 +153,9 @@ class QwenAttention(nn.Module):
         c = self.cfg
         B = x.shape[0]
         H, KV, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
-        q = nn.Dense(H * D, use_bias=True, dtype=c.dtype, name="q_proj")(x)
-        k = nn.Dense(KV * D, use_bias=True, dtype=c.dtype, name="k_proj")(x)
-        v = nn.Dense(KV * D, use_bias=True, dtype=c.dtype, name="v_proj")(x)
+        q = _proj(c, H * D, True, "q_proj")(x)
+        k = _proj(c, KV * D, True, "k_proj")(x)
+        v = _proj(c, KV * D, True, "v_proj")(x)
 
         if kv_cache is None:
             T = x.shape[1]
@@ -121,7 +188,7 @@ class QwenAttention(nn.Module):
             )
             out = out.reshape(B, 1, H * D)
             new_cache = (k_cache, v_cache)
-        out = nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype, name="o_proj")(out)
+        out = _proj(c, c.hidden_size, False, "o_proj")(out)
         return out, new_cache
 
 
@@ -137,9 +204,9 @@ class QwenMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=c.dtype, name="gate_proj")(x)
-        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=c.dtype, name="up_proj")(x)
-        return nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype, name="down_proj")(
+        gate = _proj(c, c.intermediate_size, False, "gate_proj")(x)
+        up = _proj(c, c.intermediate_size, False, "up_proj")(x)
+        return _proj(c, c.hidden_size, False, "down_proj")(
             nn.silu(gate) * up
         )
 
@@ -173,8 +240,7 @@ class QwenTextModel(nn.Module):
                        for i in range(c.num_hidden_layers)]
         self.norm = RMSNorm(c.rms_norm_eps, name="norm")
         if not c.tie_word_embeddings:
-            self.lm_head = nn.Dense(c.vocab_size, use_bias=False, dtype=c.dtype,
-                                    name="lm_head")
+            self.lm_head = _proj(c, c.vocab_size, False, "lm_head")
 
     def embed(self, input_ids):
         return self.embed_tokens(input_ids.astype(jnp.int32))

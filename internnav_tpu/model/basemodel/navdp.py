@@ -261,12 +261,10 @@ class NavDPPolicy(Policy):
         }[mode]
         sample_num = batch.get("sample_num", 32)
         o = batch["observations"]
-        args = {
-            "pointgoal": (o["goal_point"], o["input_images"], o["input_depths"]),
-            "nogoal": (o["input_images"], o["input_depths"]),
-            "imagegoal": (o["goal_image"], o["input_images"], o["input_depths"]),
-            "pixelgoal": (o["goal_pixel"], o["input_images"], o["input_depths"]),
-        }[mode]
+        goal_key = {"pointgoal": "goal_point", "imagegoal": "goal_image",
+                    "pixelgoal": "goal_pixel", "nogoal": None}[mode]
+        args = (() if goal_key is None else (o[goal_key],)) + (
+            o["input_images"], o["input_depths"])
 
         def builder():
             def f(params, rng_, *a):

@@ -46,13 +46,25 @@ class RDPNet(nn.Module):
         c = self.cfg
         dp = c.diffusion_policy
         H = c.state_encoder.hidden_size  # 512
-        self.instruction_encoder = LanguageEncoder(
-            vocab_size=c.text_encoder.vocab_size,
-            hidden_size=H,
-            num_layers=c.text_encoder.num_l_layers,
-            num_heads=8,
-            intermediate_size=4 * H,
-        )
+        if getattr(c.text_encoder, "model_name", "") == "clip-long":
+            # the shipped rdp_cfg text path (configs/model/rdp.py:30)
+            from internnav_tpu.model.encoder.longclip import LongCLIPTextEncoder
+
+            self.instruction_encoder = LongCLIPTextEncoder(
+                vocab_size=c.text_encoder.vocab_size,
+                width=H,
+                layers=c.text_encoder.num_l_layers,
+                heads=getattr(c.text_encoder, "num_heads", 8),
+                context_length=getattr(c.text_encoder, "max_length", 248),
+            )
+        else:
+            self.instruction_encoder = LanguageEncoder(
+                vocab_size=c.text_encoder.vocab_size,
+                hidden_size=H,
+                num_layers=c.text_encoder.num_l_layers,
+                num_heads=8,
+                intermediate_size=4 * H,
+            )
         self.image_encoder = CLIPImageEncoder(
             projection_dim=H, img_mod=c.image_encoder.rgb.img_mod,
             vit_width=getattr(c, "vit_width", 768),

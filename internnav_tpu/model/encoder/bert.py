@@ -32,9 +32,13 @@ class RobertaEmbeddings(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids):
-        mask = (input_ids != self.pad_token_id).astype(jnp.int32)
-        # RoBERTa position ids: cumulative count of non-pad + pad offset
-        position_ids = jnp.cumsum(mask, axis=1) * mask + self.pad_token_id
+        # the reference's vendored RobertaEmbeddings uses PLAIN arange
+        # positions (bert_backbone.py:300-306: position_ids defaults to
+        # arange, not RoBERTa's pad-skipping cumsum) and adds the type-0
+        # token_type embedding — which conversion folds into the position
+        # table (all type ids are 0)
+        L = input_ids.shape[1]
+        position_ids = jnp.broadcast_to(jnp.arange(L), input_ids.shape)
         words = nn.Embed(self.vocab_size, self.hidden_size, name="word_embeddings")(
             input_ids.astype(jnp.int32)
         )
@@ -59,7 +63,7 @@ class BertLayer(nn.Module):
         )
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="attn_ln")(x + h)
         y = nn.Dense(self.intermediate_size, name="intermediate")(x)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.hidden_size, name="output")(y)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, name="out_ln")(x + y)
 
@@ -73,12 +77,14 @@ class LanguageEncoder(nn.Module):
     num_heads: int = 12
     intermediate_size: int = 3072
     pad_token_id: int = 1
+    max_position_embeddings: int = 514
 
     @nn.compact
     def __call__(self, input_ids) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         valid = input_ids != self.pad_token_id  # (B, L) True = real token
         x = RobertaEmbeddings(
             vocab_size=self.vocab_size, hidden_size=self.hidden_size,
+            max_position_embeddings=self.max_position_embeddings,
             pad_token_id=self.pad_token_id, name="embeddings",
         )(input_ids)
         kpm = ~valid  # torch key_padding convention: True = masked out
@@ -105,15 +111,15 @@ class CrossModalLayer(nn.Module):
             h, _ = MultiHeadAttention(self.hidden_size, self.num_heads, name="self_attn")(
                 x, x, x, q_pad
             )
-            x = nn.LayerNorm(name="self_ln")(x + h)
+            x = nn.LayerNorm(epsilon=1e-5, name="self_ln")(x + h)
         h, probs = MultiHeadAttention(self.hidden_size, self.num_heads, name="cross_attn")(
             x, kv_tokens, kv_tokens, kv_pad
         )
-        x = nn.LayerNorm(name="cross_ln")(x + h)
+        x = nn.LayerNorm(epsilon=1e-5, name="cross_ln")(x + h)
         y = nn.Dense(self.hidden_size * 4, name="intermediate")(x)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.hidden_size, name="output")(y)
-        x = nn.LayerNorm(name="out_ln")(x + y)
+        x = nn.LayerNorm(epsilon=1e-5, name="out_ln")(x + y)
         return x, probs
 
 

@@ -33,10 +33,10 @@ class CLIPVitBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        xn = nn.LayerNorm(name="ln_1")(x)
+        xn = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         h, _ = MultiHeadAttention(self.width, self.heads, name="attn")(xn, xn, xn)
         x = x + h
-        y = nn.LayerNorm(name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         y = nn.Dense(self.width * 4, name="c_fc")(y)
         y = quick_gelu(y)
         y = nn.Dense(self.width, name="c_proj")(y)
@@ -63,7 +63,7 @@ class CLIPVisionTower(nn.Module):
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
                          (x.shape[1], self.width))
         x = x + pos[None]
-        x = nn.LayerNorm(name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
         for i in range(self.layers):
             x = CLIPVitBlock(self.width, self.heads, name=f"block_{i}")(x)
         return x  # NOTE: no ln_post — multi-patch path uses raw tokens
@@ -92,8 +92,13 @@ class CLIPImageEncoder(nn.Module):
         tokens = CLIPVisionTower(self.vit_width, self.vit_layers, self.vit_heads,
                                  name="visual")(pixels)  # (B, 1+P, W)
 
-        # depth tower: DD-PPO GN ResNet → flatten → linear
-        d = HabitatResNetEncoder(name="depth_encoder")(depth)  # (B, S, C)
+        # depth tower: DD-PPO GN ResNet + spatial embeddings (the reference
+        # uses VlnResnetDepthEncoder(spatial_output=True); image_clip_
+        # encoder.py:52-69) → flatten → linear
+        from internnav_tpu.model.encoder.resnet import VlnResnetDepthEncoder
+
+        d = VlnResnetDepthEncoder(spatial_output=True,
+                                  name="depth_encoder")(depth)  # (B, S, C+64)
         d = d.reshape(d.shape[0], -1)
         d = nn.Dense(self.vit_width, name="depth_linear")(d)  # match rgb width
 
@@ -102,7 +107,7 @@ class CLIPImageEncoder(nn.Module):
 
         if self.img_mod == "cls":
             fused = img_proj(tokens[:, 0]) + depth_proj(d)
-            fused = nn.LayerNorm(name="fuse_ln")(fused)
+            fused = nn.LayerNorm(epsilon=1e-5, name="fuse_ln")(fused)
             return fused[:, None, :]
 
         # multi-patch: quadrant-average the patch grid

@@ -88,7 +88,7 @@ class TransformerForDiffusion(nn.Module):
                 x, memory, tgt_mask=tgt_mask, memory_key_padding_mask=kpm,
                 memory_mask=mem_mask,
             )
-        x = nn.LayerNorm(name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_f")(x)
         return nn.Dense(self.output_dim, name="head")(x)
 
 
@@ -101,7 +101,7 @@ class DistanceNetwork(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        x = nn.relu(nn.Dense(d // 2, name="fc1")(x))
-        x = nn.relu(nn.Dense(d // 4, name="fc2")(x))
+        x = nn.relu(nn.Dense(d // 4, name="fc1")(x))
+        x = nn.relu(nn.Dense(d // 16, name="fc2")(x))
         x = nn.Dense(1, name="fc3")(x)
         return nn.sigmoid(x) if self.normalize else x

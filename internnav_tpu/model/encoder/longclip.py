@@ -35,7 +35,7 @@ class CLIPResBlock(nn.Module):
     def __call__(self, x, causal_mask):
         """x: (B, L, D)."""
         B, L, D = x.shape
-        h = nn.LayerNorm(name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         qkv = nn.Dense(3 * D, name="in_proj")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = D // self.heads
@@ -48,7 +48,7 @@ class CLIPResBlock(nn.Module):
         o = jnp.einsum("bhqk,bhkd->bhqd", a, v)
         o = o.transpose(0, 2, 1, 3).reshape(B, L, D)
         x = x + nn.Dense(D, name="out_proj")(o)
-        h = nn.LayerNorm(name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(4 * D, name="c_fc")(h)
         h = quick_gelu(h)
         x = x + nn.Dense(D, name="c_proj")(h)
@@ -90,7 +90,7 @@ class LongCLIPTextEncoder(nn.Module):
         for i in range(self.layers):
             x = CLIPResBlock(self.width, self.heads, name=f"resblock_{i}")(
                 x, causal)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         proj = self.param("text_projection", nn.initializers.normal(0.01),
                           (self.width, self.projection_dim))
         eot = jnp.argmax(ids, axis=-1)  # EOT has the highest vocab id

@@ -73,24 +73,24 @@ class TransformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, key_padding_mask=None, attn_mask=None, deterministic=True):
         ff = self.dim_feedforward or 4 * self.d_model
-        act = dict(gelu=nn.gelu, relu=nn.relu, mish=lambda y: y * jnp.tanh(nn.softplus(y)))[self.activation]
+        act = dict(gelu=lambda y: nn.gelu(y, approximate=False), relu=nn.relu, mish=lambda y: y * jnp.tanh(nn.softplus(y)))[self.activation]
         attn = MultiHeadAttention(self.d_model, self.n_head, name="self_attn")
         if self.norm_first:
-            xn = nn.LayerNorm(name="norm1")(x)
+            xn = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
             h, _ = attn(xn, xn, xn, key_padding_mask, attn_mask)
             x = x + h
-            y = nn.LayerNorm(name="norm2")(x)
+            y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
             y = nn.Dense(ff, name="linear1")(y)
             y = act(y)
             y = nn.Dense(self.d_model, name="linear2")(y)
             return x + y
         else:
             h, _ = attn(x, x, x, key_padding_mask, attn_mask)
-            x = nn.LayerNorm(name="norm1")(x + h)
+            x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + h)
             y = nn.Dense(ff, name="linear1")(x)
             y = act(y)
             y = nn.Dense(self.d_model, name="linear2")(y)
-            return nn.LayerNorm(name="norm2")(x + y)
+            return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + y)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -105,18 +105,18 @@ class TransformerDecoderLayer(nn.Module):
     def __call__(self, tgt, memory, tgt_mask=None, memory_key_padding_mask=None,
                  memory_mask=None, deterministic=True):
         ff = self.dim_feedforward or 4 * self.d_model
-        act = dict(gelu=nn.gelu, relu=nn.relu)[self.activation]
-        tn = nn.LayerNorm(name="norm1")(tgt)
+        act = dict(gelu=lambda y: nn.gelu(y, approximate=False), relu=nn.relu)[self.activation]
+        tn = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
         h, _ = MultiHeadAttention(self.d_model, self.n_head, name="self_attn")(
             tn, tn, tn, None, tgt_mask,
         )
         x = tgt + h
         h, _ = MultiHeadAttention(self.d_model, self.n_head, name="cross_attn")(
-            nn.LayerNorm(name="norm2")(x), memory, memory,
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), memory, memory,
             memory_key_padding_mask, memory_mask,
         )
         x = x + h
-        y = nn.LayerNorm(name="norm3")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         y = nn.Dense(ff, name="linear1")(y)
         y = act(y)
         y = nn.Dense(self.d_model, name="linear2")(y)

@@ -39,7 +39,7 @@ class DinoBlock(nn.Module):
         x = x + ls1 * h
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         y = nn.Dense(self.dim * 4, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="mlp_fc2")(y)
         return x + ls2 * y
 

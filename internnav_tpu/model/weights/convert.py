@@ -421,3 +421,325 @@ def convert_seq2seq_policy(sd: Dict[str, np.ndarray],
     if "prev_action_embedding.weight" in sd:
         tree["prev_action_embed"] = {"embedding": sd["prev_action_embedding.weight"]}
     return tree
+
+
+# --------------------------------------------------------- bert / crossmodal
+def convert_bert_language_encoder(sd: Dict[str, np.ndarray],
+                                  prefix: str = "") -> Dict[str, Any]:
+    """Reference vendored LanguageEncoder (instruction_roberta_encoder.py:6 +
+    bert_backbone.py RobertaEmbeddings/RobertaLayer) → our bert.LanguageEncoder.
+
+    token_type embedding (all type ids 0) is folded into the position table.
+    """
+    p: Dict[str, np.ndarray] = {}
+    emb = prefix + "embeddings."
+    pos = sd[emb + "position_embeddings.weight"].copy()
+    if emb + "token_type_embeddings.weight" in sd:
+        pos = pos + sd[emb + "token_type_embeddings.weight"][0][None]
+    p["embeddings/word_embeddings/embedding"] = sd[emb + "word_embeddings.weight"]
+    p["embeddings/position_embeddings/embedding"] = pos
+    t_norm(sd, emb + "LayerNorm", "embeddings/LayerNorm", p)
+    i = 0
+    while f"{prefix}layer.{i}.attention.self.query.weight" in sd:
+        src = f"{prefix}layer.{i}."
+        dst = f"layer_{i}/"
+        t_linear(sd, src + "attention.self.query", dst + "attention/q_proj", p)
+        t_linear(sd, src + "attention.self.key", dst + "attention/k_proj", p)
+        t_linear(sd, src + "attention.self.value", dst + "attention/v_proj", p)
+        t_linear(sd, src + "attention.output.dense", dst + "attention/out_proj", p)
+        t_norm(sd, src + "attention.output.LayerNorm", dst + "attn_ln", p)
+        t_linear(sd, src + "intermediate.dense", dst + "intermediate", p)
+        t_linear(sd, src + "output.dense", dst + "output", p)
+        t_norm(sd, src + "output.LayerNorm", dst + "out_ln", p)
+        i += 1
+    return unflatten(p)
+
+
+def convert_crossmodal_encoder(sd: Dict[str, np.ndarray],
+                               prefix: str = "") -> Dict[str, Any]:
+    """Reference VisionLanguageEncoder / CrossmodalEncoder (bert_backbone.py
+    :706-830: BertCrossLayer = self BertAttention + cross BertAttention +
+    intermediate + output) → our bert.VisionLanguageEncoder."""
+    p: Dict[str, np.ndarray] = {}
+    base = prefix + "cross_modal_encoder.crossattention."
+    if base + "0.attention.self.query.weight" not in sd:
+        base = prefix + "crossattention."
+    i = 0
+    while f"{base}{i}.attention.self.query.weight" in sd:
+        src = f"{base}{i}."
+        dst = f"layer_{i}/"
+        t_linear(sd, src + "attention.self.query", dst + "self_attn/q_proj", p)
+        t_linear(sd, src + "attention.self.key", dst + "self_attn/k_proj", p)
+        t_linear(sd, src + "attention.self.value", dst + "self_attn/v_proj", p)
+        t_linear(sd, src + "attention.output.dense", dst + "self_attn/out_proj", p)
+        t_norm(sd, src + "attention.output.LayerNorm", dst + "self_ln", p)
+        t_linear(sd, src + "crossattention.self.query", dst + "cross_attn/q_proj", p)
+        t_linear(sd, src + "crossattention.self.key", dst + "cross_attn/k_proj", p)
+        t_linear(sd, src + "crossattention.self.value", dst + "cross_attn/v_proj", p)
+        t_linear(sd, src + "crossattention.output.dense", dst + "cross_attn/out_proj", p)
+        t_norm(sd, src + "crossattention.output.LayerNorm", dst + "cross_ln", p)
+        t_linear(sd, src + "intermediate.dense", dst + "intermediate", p)
+        t_linear(sd, src + "output.dense", dst + "output", p)
+        t_norm(sd, src + "output.LayerNorm", dst + "out_ln", p)
+        i += 1
+    return unflatten(p)
+
+
+# -------------------------------------------------------------- CLIP visual
+def convert_clip_visual(sd: Dict[str, np.ndarray],
+                        prefix: str = "visual.") -> Dict[str, Any]:
+    """OpenAI/Long-CLIP visual tower state dict → CLIPVisionTower params."""
+    p: Dict[str, np.ndarray] = {}
+    p["class_embedding"] = sd[prefix + "class_embedding"]
+    p["positional_embedding"] = sd[prefix + "positional_embedding"]
+    t_conv(sd, prefix + "conv1", "conv1", p)
+    t_norm(sd, prefix + "ln_pre", "ln_pre", p)
+    i = 0
+    while f"{prefix}transformer.resblocks.{i}.ln_1.weight" in sd:
+        src = f"{prefix}transformer.resblocks.{i}."
+        dst = f"block_{i}/"
+        t_norm(sd, src + "ln_1", dst + "ln_1", p)
+        t_norm(sd, src + "ln_2", dst + "ln_2", p)
+        w = sd[src + "attn.in_proj_weight"]
+        b = sd[src + "attn.in_proj_bias"]
+        D = w.shape[1]
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            p[dst + f"attn/{name}/kernel"] = np.ascontiguousarray(
+                w[j * D:(j + 1) * D].T)
+            p[dst + f"attn/{name}/bias"] = b[j * D:(j + 1) * D]
+        t_linear(sd, src + "attn.out_proj", dst + "attn/out_proj", p)
+        t_linear(sd, src + "mlp.c_fc", dst + "c_fc", p)
+        t_linear(sd, src + "mlp.c_proj", dst + "c_proj", p)
+        i += 1
+    return unflatten(p)
+
+
+def convert_distance_network(sd: Dict[str, np.ndarray],
+                             prefix: str) -> Dict[str, Any]:
+    """Reference DistanceNetwork Sequential (distance_encoder.py:9-15:
+    Linear@0, ReLU, Linear@2, ReLU, Linear@4) → fc1/fc2/fc3."""
+    p: Dict[str, np.ndarray] = {}
+    t_linear(sd, prefix + "network.0", "fc1", p)
+    t_linear(sd, prefix + "network.2", "fc2", p)
+    t_linear(sd, prefix + "network.4", "fc3", p)
+    return unflatten(p)
+
+
+def _torch_mha(sd, name, dst, p):
+    """torch nn.MultiheadAttention (in_proj packed) → our MultiHeadAttention."""
+    w = sd[name + ".in_proj_weight"]
+    b = sd[name + ".in_proj_bias"]
+    D = w.shape[1]
+    for j, nm in enumerate(("q_proj", "k_proj", "v_proj")):
+        p[dst + f"/{nm}/kernel"] = np.ascontiguousarray(w[j * D:(j + 1) * D].T)
+        p[dst + f"/{nm}/bias"] = b[j * D:(j + 1) * D]
+    t_linear(sd, name + ".out_proj", dst + "/out_proj", p)
+
+
+def convert_diffusion_transformer(sd: Dict[str, np.ndarray],
+                                  prefix: str = "") -> Dict[str, Any]:
+    """Reference TransformerForDiffusion (diffusion_policy_modified/
+    transformer_for_diffusion_modified.py:49-145) → our
+    encoder.diffusion_transformer.TransformerForDiffusion.
+
+    Covers the obs-as-cond decoder configuration the RDP uses: input_emb,
+    pos_emb, cond_obs_emb, cond_pos_emb, encoder (TransformerEncoder layers
+    or the 2-linear Mish MLP), torch TransformerDecoder layers, ln_f, head.
+    """
+    p: Dict[str, np.ndarray] = {}
+    t_linear(sd, prefix + "input_emb", "input_emb", p)
+    p["pos_emb"] = sd[prefix + "pos_emb"]
+    t_linear(sd, prefix + "cond_obs_emb", "cond_obs_emb", p)
+    if prefix + "cond_pos_emb" in sd:
+        p["cond_pos_emb"] = sd[prefix + "cond_pos_emb"]
+    # cond encoder: Sequential MLP (encoder.0/.2) or TransformerEncoder
+    if prefix + "encoder.0.weight" in sd:
+        t_linear(sd, prefix + "encoder.0", "cond_mlp_1", p)
+        t_linear(sd, prefix + "encoder.2", "cond_mlp_2", p)
+    i = 0
+    while f"{prefix}encoder.layers.{i}.self_attn.in_proj_weight" in sd:
+        src = f"{prefix}encoder.layers.{i}."
+        dst = f"cond_layer_{i}"
+        _torch_mha(sd, src + "self_attn", dst + "/self_attn", p)
+        t_linear(sd, src + "linear1", dst + "/linear1", p)
+        t_linear(sd, src + "linear2", dst + "/linear2", p)
+        t_norm(sd, src + "norm1", dst + "/norm1", p)
+        t_norm(sd, src + "norm2", dst + "/norm2", p)
+        i += 1
+    i = 0
+    while f"{prefix}decoder.layers.{i}.self_attn.in_proj_weight" in sd:
+        src = f"{prefix}decoder.layers.{i}."
+        dst = f"dec_layer_{i}"
+        _torch_mha(sd, src + "self_attn", dst + "/self_attn", p)
+        _torch_mha(sd, src + "multihead_attn", dst + "/cross_attn", p)
+        t_linear(sd, src + "linear1", dst + "/linear1", p)
+        t_linear(sd, src + "linear2", dst + "/linear2", p)
+        t_norm(sd, src + "norm1", dst + "/norm1", p)
+        t_norm(sd, src + "norm2", dst + "/norm2", p)
+        t_norm(sd, src + "norm3", dst + "/norm3", p)
+        i += 1
+    t_norm(sd, prefix + "ln_f", "ln_f", p)
+    t_linear(sd, prefix + "head", "head", p)
+    return unflatten(p)
+
+
+# ---------------------------------------------------------------- RDP policy
+def convert_rdp_policy(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference RDPNet state dict (rdp_policy.py:116-297 module names) →
+    our RDPNet param tree.
+
+    Text path: roberta-style LanguageEncoder or Long-CLIP
+    (instruction_encoder.text_transformer.*). Image path: Long-CLIP /
+    CLIP visual tower + image_fc + DD-PPO depth tower + depth_linear.
+    """
+    sd = strip_prefixes(sd)
+    tree: Dict[str, Any] = {}
+    # text encoder
+    if "instruction_encoder.embeddings.word_embeddings.weight" in sd:
+        tree["instruction_encoder"] = convert_bert_language_encoder(
+            sd, "instruction_encoder.")
+    elif "instruction_encoder.text_transformer.token_embedding.weight" in sd:
+        from internnav_tpu.model.encoder.longclip import convert_longclip_text
+
+        tree["instruction_encoder"] = convert_longclip_text(
+            sd, "instruction_encoder.text_transformer.")
+    # image encoder (CLIP visual + fc + depth)
+    img: Dict[str, Any] = {}
+    for vis_prefix in ("image_encoder.image_transformer.visual.",
+                       "image_encoder.image_transformer.vision_model."):
+        if vis_prefix + "conv1.weight" in sd:
+            img["visual"] = convert_clip_visual(sd, vis_prefix)
+            break
+    p: Dict[str, np.ndarray] = {}
+    if "image_encoder.img_learnable_linear.weight" in sd:
+        t_linear(sd, "image_encoder.img_learnable_linear", "img_learnable_linear", p)
+    if "image_encoder.depth_learnable_linear.weight" in sd:
+        t_linear(sd, "image_encoder.depth_learnable_linear", "depth_learnable_linear", p)
+    if "image_encoder.depth_linear.1.weight" in sd:
+        t_linear(sd, "image_encoder.depth_linear.1", "depth_linear", p)
+        # torch flattens the (B, C, S, S) depth tokens channel-major
+        dl = p["depth_linear/kernel"]
+        p["depth_linear/kernel"] = _reorder_flatten_linear(dl, dl.shape[0] // 16, 16)
+    img.update(unflatten(p))
+    if "image_encoder.depth_encoder.visual_encoder.backbone.conv1.0.weight" in sd:
+        img["depth_encoder"] = {
+            "visual_encoder": convert_habitat_resnet_encoder(
+                sd, "image_encoder.depth_encoder.visual_encoder."),
+            "spatial_embeddings": _spatial_embed(
+                sd["image_encoder.depth_encoder.spatial_embeddings.weight"]),
+        }
+    if img:
+        tree["image_encoder"] = img
+    # cross encoders
+    tree["img_txt_cross_encoder"] = convert_crossmodal_encoder(
+        sd, "img_txt_cross_encoder.")
+    if "txt_img_cross_encoder.cross_modal_encoder.crossattention.0.attention.self.query.weight" in sd:
+        tree["txt_img_cross_encoder"] = convert_crossmodal_encoder(
+            sd, "txt_img_cross_encoder.")
+    # recurrent state + small linears
+    tree["state_encoder"] = convert_gru(sd, "state_encoder.rnn")
+    p = {}
+    t_linear(sd, "prev_action_embedding", "prev_action_embedding", p)
+    t_linear(sd, "prev_action_embedding_dp", "prev_action_embedding_dp", p)
+    if "imu_linear.weight" in sd:
+        t_linear(sd, "imu_linear", "imu_linear", p)
+        t_linear(sd, "imu_linear_dp", "imu_linear_dp", p)
+    tree.update(unflatten(p))
+    # aux heads + diffusion net
+    tree["progress_monitor"] = convert_distance_network(sd, "progress_monitor.")
+    if "stop_progress_predictor.network.0.weight" in sd:
+        tree["stop_progress_predictor"] = convert_distance_network(
+            sd, "stop_progress_predictor.")
+    if "distance_pred_net.network.0.weight" in sd:
+        tree["distance_pred_net"] = convert_distance_network(
+            sd, "distance_pred_net.")
+    tree["action_dp_pred_net"] = convert_diffusion_transformer(
+        sd, "action_dp_pred_net.")
+    if "action_type_embeds.weight" in sd:
+        tree["action_type_embeds"] = {"embedding": sd["action_type_embeds.weight"]}
+    return tree
+
+
+# -------------------------------------------------------------- NavDP policy
+def _convert_post_norm_decoder(sd: Dict[str, np.ndarray], prefix: str,
+                               ) -> Dict[str, Any]:
+    """torch TransformerDecoder (norm_first=False) → FormerDecoder post-norm
+    naming (navdp_backbone.py layer_{i}_self/cross/ln1-3/ff1-2)."""
+    p: Dict[str, np.ndarray] = {}
+    i = 0
+    while f"{prefix}layers.{i}.self_attn.in_proj_weight" in sd:
+        src = f"{prefix}layers.{i}."
+        _torch_mha(sd, src + "self_attn", f"layer_{i}_self", p)
+        _torch_mha(sd, src + "multihead_attn", f"layer_{i}_cross", p)
+        t_linear(sd, src + "linear1", f"layer_{i}_ff1", p)
+        t_linear(sd, src + "linear2", f"layer_{i}_ff2", p)
+        t_norm(sd, src + "norm1", f"layer_{i}_ln1", p)
+        t_norm(sd, src + "norm2", f"layer_{i}_ln2", p)
+        t_norm(sd, src + "norm3", f"layer_{i}_ln3", p)
+        i += 1
+    return unflatten(p)
+
+
+def _convert_pre_norm_decoder(sd: Dict[str, np.ndarray], prefix: str,
+                              ) -> Dict[str, Any]:
+    """torch TransformerDecoder (norm_first=True) → FormerDecoder pre-norm
+    naming (TransformerDecoderLayer under layer_{i})."""
+    p: Dict[str, np.ndarray] = {}
+    i = 0
+    while f"{prefix}layers.{i}.self_attn.in_proj_weight" in sd:
+        src = f"{prefix}layers.{i}."
+        dst = f"layer_{i}"
+        _torch_mha(sd, src + "self_attn", dst + "/self_attn", p)
+        _torch_mha(sd, src + "multihead_attn", dst + "/cross_attn", p)
+        t_linear(sd, src + "linear1", dst + "/linear1", p)
+        t_linear(sd, src + "linear2", dst + "/linear2", p)
+        t_norm(sd, src + "norm1", dst + "/norm1", p)
+        t_norm(sd, src + "norm2", dst + "/norm2", p)
+        t_norm(sd, src + "norm3", dst + "/norm3", p)
+        i += 1
+    return unflatten(p)
+
+
+def convert_navdp_policy(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference NavDPNet state dict (navdp_policy.py:86-134 +
+    navdp_backbone.py module names) → our NavDPNet param tree."""
+    sd = strip_prefixes(sd)
+    tree: Dict[str, Any] = {}
+
+    rb: Dict[str, Any] = {
+        "rgb_model": convert_dinov2_vits(sd, "rgbd_encoder.rgb_model."),
+        "depth_model": convert_dinov2_vits(sd, "rgbd_encoder.depth_model."),
+        "former_query": {"embedding": sd["rgbd_encoder.former_query.weight"]},
+        "former_pe": {"embedding": sd["rgbd_encoder.former_pe.weight"]},
+        "former_net": _convert_post_norm_decoder(sd, "rgbd_encoder.former_net."),
+    }
+    p: Dict[str, np.ndarray] = {}
+    t_linear(sd, "rgbd_encoder.project_layer", "project_layer", p)
+    rb.update(unflatten(p))
+    tree["rgbd_encoder"] = rb
+
+    for enc, torch_name in (("pixel_encoder", "pixelgoal_encoder"),
+                            ("image_encoder", "imagegoal_encoder")):
+        if f"{enc}.{torch_name}.cls_token" in sd:
+            sub = {torch_name: convert_dinov2_vits(sd, f"{enc}.{torch_name}.")}
+            p = {}
+            t_linear(sd, f"{enc}.project_layer", "project_layer", p)
+            sub.update(unflatten(p))
+            tree[enc] = sub
+
+    tree["decoder"] = _convert_pre_norm_decoder(sd, "decoder.")
+    p = {}
+    t_linear(sd, "point_encoder", "point_encoder", p)
+    t_linear(sd, "input_embed", "input_embed", p)
+    t_norm(sd, "layernorm", "final_ln", p)
+    t_linear(sd, "action_head", "action_head", p)
+    t_linear(sd, "critic_head", "critic_head", p)
+    for head in ("pixel_aux_head", "image_aux_head"):
+        if head + ".weight" in sd:
+            t_linear(sd, head, head, p)
+    tree.update(unflatten(p))
+    tree["cond_pos_embed"] = {
+        "embedding": sd["cond_pos_embed.position_embedding.weight"]}
+    tree["out_pos_embed"] = {
+        "embedding": sd["out_pos_embed.position_embedding.weight"]}
+    return tree

@@ -196,6 +196,34 @@ def test_vlnpe_evaluator_full_fsm_and_resume(tmp_path):
     assert metrics2["success"] == metrics["success"]
 
 
+@pytest.mark.slow
+def test_vlnpe_evaluator_with_process_pool(tmp_path):
+    """Ray-equivalent distribution: proc_num=2 workers x env_num=2 envs each
+    behind the same vec-env surface; the evaluator FSM is oblivious."""
+    from internnav_tpu.configs.agent import AgentCfg
+    from internnav_tpu.configs.evaluator import EnvCfg, EvalCfg, TaskCfg
+    from internnav_tpu.evaluator import Evaluator
+
+    eps = [_episode(i) for i in range(6)]
+    cfg = EvalCfg(
+        agent=AgentCfg(model_name="simple",
+                       model_settings={"mode": "random", "seed": 3}),
+        env=EnvCfg(env_type="internutopia",
+                   env_settings={"backend": "fake_physics",
+                                 "distribution_config": {"proc_num": 2}},
+                   env_num=2),
+        task=TaskCfg(max_step=4, warm_up_step=2, robot_flash=False,
+                     camera_resolution=[32, 32]),
+        eval_type="vln_pe",
+        output_dir=str(tmp_path / "out"),
+    )
+    ev = Evaluator.init(cfg, episodes=eps)
+    assert ev.env_num == 4  # 2 procs x 2 envs
+    metrics = ev.eval()
+    assert metrics["num_episodes"] == 6
+    ev.env.close()
+
+
 def test_internutopia_import_guard():
     """The Isaac backend raises the reference's RuntimeError without
     InternUtopia; isaac_ext imports cleanly everywhere."""
