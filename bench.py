@@ -135,9 +135,15 @@ def _random_bf16_params(model, cfg, image_hw: int):
 
 
 def _measure_cycle(policy, cfg, instruction: str, cycles: int) -> float:
-    """Seconds per 8-action macro-cycle (1 S2 + 2 S1)."""
+    """Seconds per 8-action macro-cycle (1 S2 + 2 S1).
+
+    The EOS id is made unreachable so greedy decode always runs the full
+    DECODE_TOKENS budget — random weights can emit EOS on step one, which
+    would silently drop the decode cost out of the measurement.
+    """
     import jax.numpy as jnp
 
+    policy.tokenizer.eos_token_id = -7  # never generated
     rs = np.random.RandomState(0)
     img = rs.randint(0, 255, (IMAGE_HW, IMAGE_HW, 3)).astype(np.uint8)
     rgb2 = np.stack([img, img])[None]

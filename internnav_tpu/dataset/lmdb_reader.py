@@ -46,6 +46,98 @@ _DB_FMT = "<IHHQQQQQ"  # pad, flags, depth, branch, leaf, overflow, entries, roo
 _DB_SIZE = struct.calcsize(_DB_FMT)  # 48
 
 
+# ----------------------------------------------------------- native binding
+_NATIVE_LIB = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native", "lmdb_reader",
+    "liblmdb_reader.so")
+
+
+def _load_native():
+    import ctypes
+
+    if not os.path.exists(_NATIVE_LIB):
+        return None
+    lib = ctypes.CDLL(_NATIVE_LIB)
+    lib.lr_open.restype = ctypes.c_void_p
+    lib.lr_open.argtypes = [ctypes.c_char_p]
+    lib.lr_close.argtypes = [ctypes.c_void_p]
+    lib.lr_entries.restype = ctypes.c_long
+    lib.lr_entries.argtypes = [ctypes.c_void_p]
+    lib.lr_count.restype = ctypes.c_long
+    lib.lr_count.argtypes = [ctypes.c_void_p]
+    ptr = ctypes.POINTER(ctypes.c_uint8)
+    for fn in (lib.lr_key, lib.lr_value):
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.POINTER(ptr),
+                       ctypes.POINTER(ctypes.c_long)]
+    lib.lr_get.restype = ctypes.c_int
+    lib.lr_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
+                           ctypes.POINTER(ptr), ctypes.POINTER(ctypes.c_long)]
+    return lib
+
+
+class NativeLMDBReader:
+    """ctypes binding to native/lmdb_reader (mmap page walker in C++) —
+    same surface as LMDBReader."""
+
+    def __init__(self, path: str):
+        import ctypes
+
+        self._lib = _load_native()
+        if self._lib is None:
+            raise OSError(f"native lmdb reader not built ({_NATIVE_LIB})")
+        self._h = self._lib.lr_open(str(path).encode())
+        if not self._h:
+            raise IOError(f"lr_open failed for {path}")
+        self._ctypes = ctypes
+
+    def _fetch(self, fn, i: int) -> bytes:
+        ct = self._ctypes
+        p = ct.POINTER(ct.c_uint8)()
+        n = ct.c_long()
+        if fn(self._h, i, ct.byref(p), ct.byref(n)) != 0:
+            raise IndexError(i)
+        return ct.string_at(p, n.value)
+
+    def items(self) -> Iterator[Tuple[bytes, bytes]]:
+        for i in range(self._lib.lr_count(self._h)):
+            yield (self._fetch(self._lib.lr_key, i),
+                   self._fetch(self._lib.lr_value, i))
+
+    def keys(self) -> List[bytes]:
+        return [self._fetch(self._lib.lr_key, i)
+                for i in range(self._lib.lr_count(self._h))]
+
+    def get(self, key) -> Optional[bytes]:
+        ct = self._ctypes
+        key = key if isinstance(key, bytes) else str(key).encode()
+        p = ct.POINTER(ct.c_uint8)()
+        n = ct.c_long()
+        if self._lib.lr_get(self._h, key, len(key), ct.byref(p),
+                            ct.byref(n)) != 0:
+            return None
+        return ct.string_at(p, n.value)
+
+    def __len__(self) -> int:
+        return int(self._lib.lr_entries(self._h))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.lr_close(self._h)
+            self._h = None
+
+
+def open_lmdb(path: str, prefer_native: bool = True):
+    """LMDB reader factory: the C++ mmap walker when built, else the
+    pure-python parser (identical surface)."""
+    if prefer_native and os.path.exists(_NATIVE_LIB):
+        try:
+            return NativeLMDBReader(path)
+        except OSError:
+            pass
+    return LMDBReader(path)
+
+
 # ------------------------------------------------------------------ reader
 class LMDBReader:
     """Read-only view of an LMDB environment's main database."""
@@ -335,8 +427,8 @@ class LmdbTrajectoryReader:
     """Dict-style view over a reference trajectory LMDB (keys → unpacked
     msgpack_numpy dicts), the read surface cma_lmdb_dataset.py consumes."""
 
-    def __init__(self, path: str):
-        self.db = LMDBReader(path)
+    def __init__(self, path: str, prefer_native: bool = True):
+        self.db = open_lmdb(path, prefer_native=prefer_native)
         self._keys = self.db.keys()
 
     def keys(self) -> List[str]:

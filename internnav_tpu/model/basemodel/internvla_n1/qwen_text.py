@@ -59,10 +59,11 @@ class QwenTextConfig:
 
 
 class QuantDense(nn.Module):
-    """Weight-only int8 Dense: kernel_q int8 (in, out) + per-output-channel
-    fp32 scale (w ≈ kernel_q * scale). The dot consumes the int8 operand
-    directly (XLA fuses the widening convert into the matmul read), so HBM
-    traffic on the weight is one byte per element."""
+    """int8 Dense: kernel_q int8 (in, out) + per-output-channel fp32 scale
+    (w ≈ kernel_q * scale), with dynamic per-token activation quantization
+    (W8A8): the dot runs int8 x int8 with int32 accumulation on the MXU, so
+    the weight read is one byte per element and the matmul itself runs at
+    the int8 rate — no reliance on XLA fusing a widening convert."""
 
     features: int
     use_bias: bool = True
@@ -78,12 +79,20 @@ class QuantDense(nn.Module):
         )
         scale = self.param("scale_q", nn.initializers.constant(0.01),
                            (self.features,))
-        y = jnp.dot(x.astype(self.dtype), kernel_q.astype(self.dtype))
-        y = y * scale.astype(self.dtype)
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        a_scale = jnp.maximum(amax, 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+        y32 = jax.lax.dot_general(
+            xq, kernel_q,
+            (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y32.astype(jnp.float32) * a_scale * scale
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias.astype(self.dtype)
-        return y
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
 
 
 def _proj(cfg: QwenTextConfig, features: int, use_bias: bool, name: str):

@@ -98,3 +98,35 @@ def test_lmdb_trajectory_reader_and_import(tmp_path):
     tree = rd.get_tree("scene_2")
     np.testing.assert_array_equal(
         tree["rgb"], episodes["scene_2"]["episode_data"]["rgb"])
+
+
+def test_native_lmdb_reader_matches_python(tmp_path):
+    """The C++ mmap walker must agree byte-for-byte with the python parser."""
+    import pytest
+
+    from internnav_tpu.dataset.lmdb_reader import (
+        LMDBReader,
+        LMDBWriter,
+        NativeLMDBReader,
+        _NATIVE_LIB,
+        open_lmdb,
+    )
+    import os
+
+    if not os.path.exists(_NATIVE_LIB):
+        pytest.skip("native lmdb reader not built")
+    rs = np.random.RandomState(2)
+    data = {f"k{i:04d}".encode(): bytes(rs.randint(0, 256, rs.randint(4, 9000),
+                                                   dtype=np.uint8))
+            for i in range(200)}
+    with LMDBWriter(str(tmp_path / "env")) as w:
+        for k, v in data.items():
+            w.put(k, v)
+    py = LMDBReader(str(tmp_path / "env"))
+    nat = NativeLMDBReader(str(tmp_path / "env"))
+    assert len(nat) == len(py) == 200
+    assert dict(nat.items()) == dict(py.items()) == data
+    assert nat.get(b"k0100") == data[b"k0100"]
+    assert nat.get(b"nope") is None
+    nat.close()
+    assert isinstance(open_lmdb(str(tmp_path / "env")), NativeLMDBReader)
