@@ -61,6 +61,7 @@ class TaskCfg(_Cfg):
     task_name: str = "vln_eval"
     task_settings: Dict[str, Any] = {}
     scene: SceneCfg = SceneCfg()
+    robot: Optional[RobotCfg] = None  # assembled by vln_default.get_config
     robot_name: str = "h1"
     robot_flash: bool = False
     robot_usd_path: Optional[str] = None

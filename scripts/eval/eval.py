@@ -21,6 +21,12 @@ def main() -> None:
     ap.add_argument("--config", required=True, help="python config file exposing eval_cfg")
     args = ap.parse_args()
     cfg = load_py_config(args.config)
+    if cfg.eval_type == "vln_pe":
+        # defaults-merging assembly for the VLN-PE pipeline (reference
+        # eval.py:33-49 applies vln_default_config.get_config)
+        from internnav_tpu.configs.vln_default import get_config
+
+        cfg = get_config(cfg)
     metrics = Evaluator.init(cfg).eval()
     print(metrics)
 

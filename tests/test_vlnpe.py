@@ -224,6 +224,49 @@ def test_vlnpe_evaluator_with_process_pool(tmp_path):
     ev.env.close()
 
 
+def test_vln_default_get_config_assembly():
+    """The defaults-merging VLN-PE config assembly (reference
+    vln_default_config.get_config :180-328): h1 robot with loco/stand/
+    discrete/flash controllers, camera + pointcloud sensors, scene scale
+    switch, model-settings defaults, None-leaf validation."""
+    from internnav_tpu.configs import AgentCfg, EnvCfg, EvalCfg, SceneCfg, TaskCfg
+    from internnav_tpu.configs.vln_default import get_config, validate_eval_config
+
+    from internnav_tpu.configs import EvalDatasetCfg
+
+    cfg = EvalCfg(
+        agent=AgentCfg(model_name="cma", model_settings={"num_actions": 4}),
+        env=EnvCfg(env_type="internutopia", proc_num=4),
+        task=TaskCfg(robot_name="h1", robot_flash=True,
+                     scene=SceneCfg(scene_type="kujiale",
+                                    scene_data_dir="data/scenes")),
+        dataset=EvalDatasetCfg(base_data_dir="data/vln_pe/raw_data/r2r"),
+        eval_type="vln_pe",
+    )
+    full = get_config(cfg)
+    names = [c.name for c in full.task.robot.controllers]
+    assert names == ["vln_move_by_speed", "stand_still", "move_by_discrete",
+                     "move_by_flash"]
+    assert [s.name for s in full.task.robot.sensors] == [
+        "pano_camera_0", "topdown_camera_500", "tp_pointcloud"]
+    assert full.task.scene.scene_scale == [0.01, 0.01, 0.01]  # kujiale 1:100
+    assert full.task.robot.ankle_height == 0.0758
+    # user model_settings override the per-model defaults
+    assert full.agent.model_settings["num_actions"] == 4
+    assert "state_encoder" in full.agent.model_settings
+    # proc_num wires the sim process pool
+    assert full.env.env_settings["distribution_config"]["proc_num"] == 4
+    assert full.env.env_settings["sim_settings"]["physics_dt"] == 1 / 200
+
+    # validation rejects None leaves
+    import pytest as _pytest
+
+    bad = full.model_copy(deep=True)
+    bad.task.robot_usd_path = None
+    with _pytest.raises(ValueError, match="robot_usd_path"):
+        validate_eval_config(bad)
+
+
 def test_internutopia_import_guard():
     """The Isaac backend raises the reference's RuntimeError without
     InternUtopia; isaac_ext imports cleanly everywhere."""
