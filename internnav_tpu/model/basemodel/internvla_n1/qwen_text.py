@@ -204,6 +204,12 @@ class QwenAttention(nn.Module):
 def _write_cache(cache, new_kv, pos):
     """cache (B, Tmax, KV, D); new_kv (B, KV, D); pos (B,)."""
     B = cache.shape[0]
+    if B == 1:
+        # dynamic-update-slice instead of a scatter: the scatter forces a
+        # gather/scatter lowering on TPU, DUS updates in place (this runs
+        # 2x per layer per decode step)
+        return jax.lax.dynamic_update_slice(
+            cache, new_kv[:, None].astype(cache.dtype), (0, pos[0], 0, 0))
     return cache.at[jnp.arange(B), pos].set(new_kv.astype(cache.dtype))
 
 
