@@ -16,11 +16,13 @@ steps) + 2 System-1 denoise calls (4 actions each) -> 8 discrete actions.
 Hardware note: this bench runs on ONE TPU v5e chip (16 GB HBM). The 7B
 text trunk is 15.2 GB in bf16, so the full 28-layer model cannot be
 resident along with activations on a single chip. The cycle time is
-therefore measured at two decoder depths (default 4 and 12 layers, all
-other dims true) and extrapolated linearly to 28: decoder layers are
-identical, so t(L) = const + slope*L exactly, with the constant capturing
-everything depth-independent (ViT, lm_head reads, System-1, host/dispatch
-overhead). Both measured points and the fit are reported in the JSON.
+therefore measured at three decoder depths (default 4/12/20 layers, all
+other dims true) and extrapolated to 28 with a least-squares affine fit:
+decoder layers are identical, so t(L) = const + slope*L exactly, with the
+constant capturing everything depth-independent (ViT, lm_head reads,
+System-1, host/dispatch overhead). Each point is the min over CYCLES
+cycles (the chip is shared; contention inflates individual cycles). All
+measured points and the fit are reported in the JSON.
 
 Baseline derivation (REF_ACTIONS_PER_SEC): the reference publishes no
 per-step latency, so the A100-80GB number is per-component speed-of-light
