@@ -218,7 +218,11 @@ class RDPNet(nn.Module):
                 eps = self.action_dp_pred_net(x2, jnp.broadcast_to(t, (2 * B,)),
                                               cond2, types2, cond_mask)
                 eps_c, eps_u = eps[:B], eps[B:]
-                return eps_u + guidance_scale * (eps_c - eps_u)
+                guided = eps_u + guidance_scale * (eps_c - eps_u)
+                # the reference applies guidance only for k != 0
+                # (rdp_policy.py:344-350): the final step uses the
+                # conditional prediction alone
+                return jnp.where(t != 0, guided, eps_c)
             return self.action_dp_pred_net(x, jnp.broadcast_to(t, (B,)),
                                            cond2, types2, cond_mask)
 
