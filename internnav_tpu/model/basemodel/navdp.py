@@ -36,7 +36,20 @@ from internnav_tpu.model.encoder.navdp_backbone import (
     PixelGoalBackbone,
     RGBDBackbone,
 )
-from internnav_tpu.model.encoder.transformer import SinusoidalPosEmb, causal_mask
+from internnav_tpu.model.encoder.transformer import SinusoidalPosEmb
+
+
+def _ref_navdp_tgt_mask(P: int):
+    """The standalone reference NavDP passes its BOOL tgt_mask straight to
+    torch (navdp_policy.py:122,166): torch bool masks mean True = BLOCKED,
+    so the lower-triangle-True matrix actually lets waypoint i attend only
+    STRICTLY FUTURE waypoints (and SDPA zeroes the fully-blocked last row).
+    The N1-embedded variant converts the same matrix to a float mask
+    (navdp.py:82-88), which IS standard causal — navdp_head.py keeps that.
+    We reproduce each variant's actual behavior. True = keep here."""
+    import jax.numpy as jnp
+
+    return jnp.arange(P)[None, :] > jnp.arange(P)[:, None]
 from internnav_tpu.model.encoder.navdp_backbone import FormerDecoder
 from internnav_tpu.ops.schedulers import DDPMScheduler
 
@@ -89,7 +102,7 @@ class NavDPNet(nn.Module):
         cond = self._cond(time_embeds, goal_embed, rgbd_embed)
         x = self.input_embed(noisy_actions)
         x = x + self.out_pos_embed(jnp.arange(x.shape[1]))[None]
-        out = self.decoder(x, cond, tgt_mask=causal_mask(self.predict_size))
+        out = self.decoder(x, cond, tgt_mask=_ref_navdp_tgt_mask(self.predict_size))
         out = self.final_ln(out)
         return self.action_head(out)
 
@@ -154,7 +167,7 @@ class NavDPNet(nn.Module):
             cond = cond + self.cond_pos_embed(jnp.arange(cond.shape[1]))[None]
             x = self.input_embed(noisy)
             x = x + self.out_pos_embed(jnp.arange(x.shape[1]))[None]
-            out = self.decoder(x, cond, tgt_mask=causal_mask(self.predict_size))
+            out = self.decoder(x, cond, tgt_mask=_ref_navdp_tgt_mask(self.predict_size))
             return self.action_head(self.final_ln(out))
 
         eps_ng = denoise_pred(ng_noisy, ng_t, nogoal, nogoal, nogoal)

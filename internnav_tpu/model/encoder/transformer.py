@@ -56,6 +56,11 @@ class MultiHeadAttention(nn.Module):
         if key_padding_mask is not None:
             scores = jnp.where(key_padding_mask[:, None, None, :], -1e9, scores)
         probs = jax.nn.softmax(scores, axis=-1)
+        if attn_mask is not None:
+            # torch SDPA zeroes fully-masked rows (NavDP's anti-causal mask
+            # blocks the last waypoint entirely); softmax alone would give
+            # uniform garbage there
+            probs = jnp.where(attn_mask.any(-1)[None, None, :, None], probs, 0.0)
         out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.embed_dim)
         return nn.Dense(self.embed_dim, name="out_proj")(out), probs
