@@ -213,6 +213,87 @@ def bench_int8() -> dict:
     }
 
 
+def _measure_batched_cycle(policy, cfg, instruction: str, cycles: int,
+                           batch: int) -> float:
+    """Seconds per batched macro-cycle (1 batched S2 + 2 batched S1) at the
+    long-episode steady state: every slot has saturated 9-image history and
+    contributes exactly one new frame per step."""
+    import jax.numpy as jnp
+
+    policy.inner.tokenizer.eos_token_id = -7  # force the full decode budget
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (IMAGE_HW, IMAGE_HW, 3)).astype(np.uint8)
+    imgs = np.stack([img] * batch)
+    rgb2 = np.broadcast_to(np.stack([img, img])[None],
+                           (batch, 2, IMAGE_HW, IMAGE_HW, 3))
+
+    policy.reset([instruction] * batch)
+    for s in policy.slots:  # saturate history
+        s.rgb_list = [img] * 8
+        s.episode_idx = 8
+
+    def cycle():
+        outs = policy.s2_step(imgs, max_new_tokens=DECODE_TOKENS)
+        lat = jnp.concatenate([
+            o.output_latent if o.output_latent is not None
+            else jnp.zeros((1, cfg.n_query, cfg.text.hidden_size),
+                           jnp.bfloat16)
+            for o in outs], axis=0)
+        policy.s1_step_latent(rgb2, lat, num_sample_trajs=NUM_SAMPLE_TRAJS)
+        policy.s1_step_latent(rgb2, lat, num_sample_trajs=NUM_SAMPLE_TRAJS)
+
+    cycle()  # warmup/compile (also encodes the 8 history frames per slot)
+    best = float("inf")
+    for _ in range(cycles):
+        t0 = time.perf_counter()
+        cycle()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_batched(batch: int) -> dict:
+    """Batched multi-episode serving: B episode streams through ONE fused
+    S2 program. Decode is HBM-bandwidth-bound (every token streams the full
+    decoder weights), so batching multiplies actions/sec/chip — the
+    reference's evaluator architecture (one episode per GPU rank,
+    habitat_env.py:72) cannot express this. Full 28-layer model resident
+    via int8 projections; measured end to end, no extrapolation."""
+    from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Model
+    from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
+    from internnav_tpu.model.basemodel.internvla_n1.serving import BatchedN1Policy
+
+    cfg = _full_n1_config(FULL_LAYERS, weight_dtype="int8")
+    model = InternVLAN1Model(cfg)
+    params = _random_bf16_params(model, cfg, IMAGE_HW)
+    inner = InternVLAN1Policy(model, params, cfg)
+    policy = BatchedN1Policy(model, params, cfg, batch_size=batch,
+                             tokenizer=inner.tokenizer)
+    instruction = ("walk down the hallway past the kitchen then turn left "
+                   "and stop next to the round table")
+    t = _measure_batched_cycle(policy, cfg, instruction, CYCLES, batch)
+    aps = ACTIONS_PER_CYCLE * batch / t
+    return {
+        "metric": "internvla_n1_dual_system_actions_per_sec_per_chip_7b_batched",
+        "value": round(aps, 2),
+        "unit": "actions/s",
+        "vs_baseline": round(aps / REF_ACTIONS_PER_SEC, 3),
+        "detail": {
+            "batch_size": batch,
+            "dims": "full 28-layer Qwen2.5-VL-7B resident, int8 weight-only "
+                    "projections, bf16 activations/KV; B independent episode "
+                    "streams, per-stream results bit-identical to "
+                    "single-stream (tests/test_serving_batched.py)",
+            "measured_cycle_s": round(t, 4),
+            "actions_per_cycle": ACTIONS_PER_CYCLE * batch,
+            "per_stream_actions_per_sec": round(aps / batch, 2),
+            "ref_actions_per_sec": round(REF_ACTIONS_PER_SEC, 2),
+            "note": "vs_baseline compares per-chip throughput; the A100 "
+                    "baseline is single-stream because the reference "
+                    "framework evaluates one episode per GPU rank",
+        },
+    }
+
+
 def bench_full() -> dict:
     from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Model
     from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
@@ -307,6 +388,9 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true",
                     help="full 28-layer model resident via int8 weight-only "
                          "projections (deployment mode)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="batched multi-episode serving at this batch size "
+                         "(int8 resident full model)")
     args = ap.parse_args()
 
     import jax
@@ -318,6 +402,8 @@ def main() -> None:
 
     if args.small:
         result = bench_small()
+    elif args.batch:
+        result = bench_batched(args.batch)
     elif args.int8:
         result = bench_int8()
     else:

@@ -32,6 +32,11 @@ class NextDiTConfig:
     latent_embedding_size: int = 768  # cross-attention conditioning width
     qk_norm: bool = True
     time_freq_dim: int = 256
+    #: activation/compute dtype. bf16 matches the torch reference's
+    #: deployment (the whole dual-system model loads bf16,
+    #: internvla_n1_trainer.py / internvla_n1_policy.py); softmax, RMSNorm
+    #: statistics and the Euler scheduler stay fp32.
+    dtype: Any = jnp.bfloat16
 
     @classmethod
     def tiny(cls) -> "NextDiTConfig":
@@ -171,6 +176,8 @@ class NextDiT(nn.Module):
     @nn.compact
     def __call__(self, x, timestep, z_latents, latents_mask=None):
         c = self.cfg
+        x = x.astype(c.dtype)
+        z_latents = z_latents.astype(c.dtype)
         if latents_mask is None:
             latents_mask = jnp.ones(z_latents.shape[:2], bool)
         # caption projection (PixArtAlphaTextProjection)
@@ -180,6 +187,7 @@ class NextDiT(nn.Module):
 
         temb = TimeCaptionEmbed(min(c.dim, 1024), c.dim, c.time_freq_dim,
                                 name="time_caption_embed")(timestep, cond, latents_mask)
+        temb = temb.astype(c.dtype)
         for i in range(c.n_layers):
             x = NextDiTBlock(c, name=f"layers_{i}")(x, cond, latents_mask, temb)
         # LuminaLayerNormContinuous out

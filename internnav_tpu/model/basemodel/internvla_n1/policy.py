@@ -31,6 +31,7 @@ from internnav_tpu.model.basemodel.internvla_n1.model import (
 from internnav_tpu.model.basemodel.internvla_n1.qwen_text import greedy_generate
 from internnav_tpu.model.basemodel.internvla_n1.qwen_vision import (
     preprocess_images,
+    preprocess_images_device,
     rotary_table,
     vision_indices,
 )
@@ -198,29 +199,48 @@ class InternVLAN1Policy:
         self._rng = jax.random.PRNGKey(0)
 
     # --------------------------------------------------------------- vision
-    def _encode_images(self, images: np.ndarray):
+    CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+    CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+    def _vision_host_indices(self, n: int, h: int, w: int):
+        """Memoized window/rope index tables (pure functions of the image
+        grid; recomputing them per call costs ~20 ms of host time)."""
         cfg = self.cfg
-        mean = np.asarray([0.48145466, 0.4578275, 0.40821073])
-        std = np.asarray([0.26862954, 0.26130258, 0.27577711])
-        imgs = (np.asarray(images, np.float32) / 255.0 - mean) / std
-        patches, grid = preprocess_images(imgs.astype(np.float32), cfg.vision)
-        idx = vision_indices(
-            (cfg.vision.patch_size, cfg.vision.spatial_merge_size, cfg.vision.window_size),
-            tuple(map(tuple, grid.tolist())),
-        )
-        cos, sin = rotary_table(idx["pos_ids"], cfg.vision.hidden_size // cfg.vision.num_heads)
-        key = f"vis_{patches.shape}"
+        key = f"visidx_{n}_{h}_{w}"
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda p, *a: self.model.apply({"params": p}, *a,
-                                               method=self.model.encode_vision)
+            p = cfg.vision.patch_size
+            grid = np.tile(np.asarray([[1, h // p, w // p]], np.int64), (n, 1))
+            idx = vision_indices(
+                (p, cfg.vision.spatial_merge_size, cfg.vision.window_size),
+                tuple(map(tuple, grid.tolist())),
             )
+            cos, sin = rotary_table(
+                idx["pos_ids"], cfg.vision.hidden_size // cfg.vision.num_heads)
+            self._jit_cache[key] = (grid, tuple(
+                jnp.asarray(a) for a in (
+                    cos, sin, idx["window_segments"], idx["full_segments"],
+                    idx["window_index"], idx["reverse_index"])))
+        return self._jit_cache[key]
+
+    def _encode_images(self, images: np.ndarray):
+        """(N, H, W, 3) uint8 → (N_tok, D) vision tokens. Pixels cross the
+        host→device link as uint8; normalization + patchification run
+        on-device (preprocess_images_device)."""
+        cfg = self.cfg
+        images = np.asarray(images)
+        n, h, w = images.shape[:3]
+        grid, dev_idx = self._vision_host_indices(n, h, w)
+        key = f"vis_{images.shape}"
+        if key not in self._jit_cache:
+            def fn(p, raw, *a):
+                patches = preprocess_images_device(
+                    raw, cfg.vision, self.CLIP_MEAN, self.CLIP_STD)
+                return self.model.apply({"params": p}, patches, *a,
+                                        method=self.model.encode_vision)
+
+            self._jit_cache[key] = jax.jit(fn)
         tokens = self._jit_cache[key](
-            self.params,
-            jnp.asarray(patches), jnp.asarray(cos), jnp.asarray(sin),
-            jnp.asarray(idx["window_segments"]), jnp.asarray(idx["full_segments"]),
-            jnp.asarray(idx["window_index"]), jnp.asarray(idx["reverse_index"]),
-        )
+            self.params, jnp.asarray(images.astype(np.uint8)), *dev_idx)
         return tokens, grid
 
     # --------------------------------------------------------------- prompt
@@ -511,32 +531,39 @@ class InternVLAN1Policy:
         self._rng, sub = jax.random.split(self._rng)
         cfg = self.cfg
         if "nextdit" in cfg.system1:
-            mean = np.asarray([0.485, 0.456, 0.406])
-            std = np.asarray([0.229, 0.224, 0.225])
-            imdp = (np.asarray(rgb, np.float32) / 255.0 - mean) / std
-            key = f"s1_nextdit_{imdp.shape}_{num_sample_trajs}"
+            rgb_u8 = np.asarray(rgb, np.uint8)
+            key = f"s1_nextdit_{rgb_u8.shape}_{num_sample_trajs}"
             if key not in self._jit_cache:
-                self._jit_cache[key] = jax.jit(
-                    lambda p, lat, im, r: self.model.apply(
+                # normalize on-device: only uint8 pixels cross the link
+                mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+                std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+                def fn(p, lat, raw, r):
+                    im = (raw.astype(jnp.float32) / 255.0 - mean) / std
+                    return self.model.apply(
                         {"params": p},
                         method=lambda mdl: mdl.generate_traj_nextdit(
                             lat, im, rng=r, num_sample_trajs=num_sample_trajs),
                     )
-                )
+
+                self._jit_cache[key] = jax.jit(fn)
             dp_actions = self._jit_cache[key](
-                self.params, latent, jnp.asarray(imdp, jnp.float32), sub)
+                self.params, latent, jnp.asarray(rgb_u8), sub)
         else:
-            key = f"s1_navdp_{np.asarray(rgb).shape}_{num_sample_trajs}"
+            rgb_u8 = np.asarray(rgb, np.uint8)
+            key = f"s1_navdp_{rgb_u8.shape}_{num_sample_trajs}"
             if key not in self._jit_cache:
+                # /255 on-device: only uint8 pixels cross the link
                 self._jit_cache[key] = jax.jit(
                     lambda p, lat, im, de, r: self.model.apply(
                         {"params": p},
                         method=lambda mdl: mdl.generate_traj_navdp(
-                            lat, im, de, rng=r, sample_num=num_sample_trajs),
+                            lat, im.astype(jnp.float32) / 255.0, de,
+                            rng=r, sample_num=num_sample_trajs),
                     )
                 )
             dp_actions = self._jit_cache[key](
-                self.params, latent, jnp.asarray(rgb, jnp.float32) / 255.0,
+                self.params, latent, jnp.asarray(rgb_u8),
                 jnp.asarray(depth, jnp.float32), sub)
 
         dp = np.asarray(dp_actions)

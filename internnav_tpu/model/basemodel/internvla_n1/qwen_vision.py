@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from internnav_tpu.model.basemodel.internvla_n1.qwen_text import RMSNorm
-from internnav_tpu.ops.flash_attention import mha_reference
+from internnav_tpu.ops.flash_attention import flash_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,9 +151,11 @@ class VisionBlock(nn.Module):
 
         q = rope(q).astype(c.dtype)
         k = rope(k).astype(c.dtype)
-        v = v.reshape(-1, H, D)
-        # (1, H, S, D) with segment isolation
-        attn = mha_reference(
+        v = v.reshape(-1, H, D).astype(c.dtype)
+        # (1, H, S, D) with segment isolation; Pallas on TPU keeps memory
+        # tile-bounded (the XLA path materializes (S, S) scores — 21 GB at
+        # a 72-image batched-serving history warmup)
+        attn = flash_attention(
             q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
             v.transpose(1, 0, 2)[None],
             causal=False, segment_ids=segment_ids[None],
@@ -221,6 +223,25 @@ def preprocess_images(images: np.ndarray, cfg: QwenVisionConfig) -> Tuple[np.nda
         patches_all.append(patches)
         grids.append((1, gh, gw))
     return np.concatenate(patches_all, axis=0), np.asarray(grids, np.int64)
+
+
+def preprocess_images_device(images: jnp.ndarray, cfg: QwenVisionConfig,
+                             mean, std) -> jnp.ndarray:
+    """Device-side normalize + patchify: (N, H, W, 3) uint8 → patches
+    (N*gh*gw, 3*tp*p*p) fp32. Same layout as `preprocess_images`, but run
+    inside jit so only 1-byte pixels cross the host→device link (the fp32
+    patch tensor is 4x larger and transfer-bound on networked TPUs)."""
+    p, tp = cfg.patch_size, cfg.temporal_patch_size
+    m = cfg.spatial_merge_size
+    N, H, W, _ = images.shape
+    gh, gw = H // p, W // p
+    x = images.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    x = jnp.repeat(x[:, None], tp, axis=1)          # (N, tp, H, W, 3)
+    x = x.transpose(0, 1, 4, 2, 3)                  # (N, tp, 3, H, W)
+    x = x.reshape(N, tp, 3, gh // m, m, p, gw // m, m, p)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return x.reshape(N * gh * gw, 3 * tp * p * p)
 
 
 def encode_images(

@@ -113,8 +113,8 @@ def _flash_kernel(
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
             mask = col <= row
         if use_segments:
-            qs = qseg_ref[0]  # (block_q,)
-            ks = kseg_ref[0]  # (block_k,)
+            qs = qseg_ref[0, 0]  # (block_q,)
+            ks = kseg_ref[0, 0]  # (block_k,)
             seg = qs[:, None] == ks[None, :]
             mask = seg if mask is None else (mask & seg)
         if mask is not None:
@@ -175,9 +175,15 @@ def _flash_forward(
     ]
     args = [q, k, v]
     if use_segments:
-        in_specs.append(pl.BlockSpec((1, block_q), lambda b, h, qi, ki: (b, qi)))
-        in_specs.append(pl.BlockSpec((1, block_k), lambda b, h, qi, ki: (b, ki)))
-        args += [q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32)]
+        # (B, 1, T) layout: a (1, 1, block) block's last-two dims are
+        # (1, block), which satisfies the TPU (8, 128) tiling rule for any
+        # batch size — (B, T) with (1, block) blocks only lowers when B == 1
+        in_specs.append(pl.BlockSpec((1, 1, block_q),
+                                     lambda b, h, qi, ki: (b, 0, qi)))
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda b, h, qi, ki: (b, 0, ki)))
+        args += [q_segment_ids.astype(jnp.int32)[:, None],
+                 kv_segment_ids.astype(jnp.int32)[:, None]]
     else:
         # dummy scalars so the kernel signature is stable
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -237,8 +243,8 @@ def _recompute_p_ds(q, k, lse, di, qseg_ref, kseg_ref, q_off, k_off,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_off
         mask = col <= row
     if use_segments:
-        qs = qseg_ref[0]
-        ks = kseg_ref[0]
+        qs = qseg_ref[0, 0]
+        ks = kseg_ref[0, 0]
         seg = qs[:, None] == ks[None, :]
         mask = seg if mask is None else (mask & seg)
     # rows with no valid key have lse == -inf; exp(s - (-inf)) would be inf,
@@ -364,10 +370,15 @@ def _flash_backward(q, k, v, q_segment_ids, kv_segment_ids, o, lse, do,
 
     def seg_specs(q_map, k_map):
         if use_segments:
+            # (B, 1, T) layout — see _flash_forward for the tiling rationale
+            def lift(m):
+                return lambda b, h, i, j: (m(b, h, i, j)[0], 0, m(b, h, i, j)[1])
+
             return (
-                [pl.BlockSpec((1, block_q), q_map),
-                 pl.BlockSpec((1, block_k), k_map)],
-                [q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32)],
+                [pl.BlockSpec((1, 1, block_q), lift(q_map)),
+                 pl.BlockSpec((1, 1, block_k), lift(k_map))],
+                [q_segment_ids.astype(jnp.int32)[:, None],
+                 kv_segment_ids.astype(jnp.int32)[:, None]],
             )
         return (
             [pl.BlockSpec(memory_space=pltpu.SMEM),

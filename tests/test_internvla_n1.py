@@ -178,3 +178,23 @@ def test_fused_s2_matches_unfused():
             np.asarray(out_f.output_latent), np.asarray(out_u.output_latent),
             atol=2e-2, rtol=1e-2,
         )
+
+
+def test_device_preprocess_matches_host():
+    """On-device uint8 normalize+patchify must equal the host pipeline
+    (the transfer-optimized path ships raw pixels, not fp32 patches)."""
+    from internnav_tpu.model.basemodel.internvla_n1.qwen_vision import (
+        QwenVisionConfig, preprocess_images, preprocess_images_device)
+    import jax.numpy as jnp
+
+    cfg = QwenVisionConfig.tiny()
+    rs = np.random.RandomState(0)
+    imgs = rs.randint(0, 255, (3, 56, 56, 3)).astype(np.uint8)
+    mean = InternVLAN1Policy.CLIP_MEAN
+    std = InternVLAN1Policy.CLIP_STD
+    norm = ((imgs.astype(np.float32) / 255.0 - np.asarray(mean, np.float32))
+            / np.asarray(std, np.float32))
+    want, grid = preprocess_images(norm.astype(np.float32), cfg)
+    got = preprocess_images_device(jnp.asarray(imgs), cfg, mean, std)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6, rtol=1e-6)
+    assert grid.tolist() == [[1, 4, 4]] * 3

@@ -64,6 +64,28 @@ def test_flash_segment_ids_packing(rng):
     )
 
 
+def test_flash_segment_ids_batched(rng):
+    """Per-row segment masks at batch > 1 (the bucketed batched-serving
+    layout: each row pads to a shared length with pad-isolating segments).
+    Regression: (B, T) segment ids with (1, block) BlockSpecs only lowered
+    on TPU when B == 1; the kernel now carries them as (B, 1, T)."""
+    B, H, T, D = 3, 2, 256, 64
+    q, k, v = _rand_qkv(rng, B, H, T, D)
+    seg = np.zeros((B, T), np.int32)
+    seg[0, 200:] = 1   # row 0: pad tail isolated
+    seg[1, 128:] = 1   # row 1: different boundary
+    # row 2: no pads
+    seg = jnp.asarray(seg)
+    out = _run_kernel(q, k, v, seg, seg, causal=True)
+    ref = mha_reference(q, k, v, causal=True, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_flash_backward_parity_packed_batched(rng):
+    _grad_parity(rng, causal=True, packed=True, T=256, B=3)
+
+
 def test_segment_ids_from_cu_seqlens():
     seg = segment_ids_from_cu_seqlens(jnp.asarray([0, 3, 5, 8]), 8)
     np.testing.assert_array_equal(np.asarray(seg), [0, 0, 0, 1, 1, 2, 2, 2])

@@ -1,0 +1,115 @@
+"""Batched multi-episode serving parity vs the single-stream policy.
+
+The batched path (serving.BatchedN1Policy) must be *behaviorally
+identical* per slot to InternVLAN1Policy — batching is a pure throughput
+transform (amortized decode weight reads), never a semantics change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from __graft_entry__ import _small_n1_config
+from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Model
+from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
+from internnav_tpu.model.basemodel.internvla_n1.serving import BatchedN1Policy
+
+IMG_HW = 56
+
+
+@pytest.fixture(scope="module")
+def built():
+    cfg = _small_n1_config()
+    single = InternVLAN1Policy.build(cfg, image_hw=IMG_HW)
+    batched = BatchedN1Policy(single.model, single.params, cfg, batch_size=2,
+                              tokenizer=single.tokenizer)
+    return cfg, single, batched
+
+
+def _frames(seed, n):
+    rs = np.random.RandomState(seed)
+    return [rs.randint(0, 255, (IMG_HW, IMG_HW, 3)).astype(np.uint8)
+            for _ in range(n)]
+
+
+INSTR = ["walk to the kitchen and stop",
+         "turn left at the sofa then go forward to the red door and wait"]
+
+
+def test_batched_s2_matches_single_stream(built):
+    cfg, single, batched = built
+    steps = 3
+    frames = {i: _frames(100 + i, steps) for i in range(2)}
+
+    # single-stream reference run per slot
+    ref_tokens, ref_latents = {}, {}
+    for i in range(2):
+        single.reset()
+        for t in range(steps):
+            out = single.s2_step(frames[i][t], INSTR[i], max_new_tokens=6)
+        ref_tokens[i] = single.llm_output
+        ref_latents[i] = (None if out.output_latent is None
+                          else np.asarray(out.output_latent, np.float32))
+
+    batched.reset(INSTR)
+    for t in range(steps):
+        outs = batched.s2_step(
+            np.stack([frames[0][t], frames[1][t]]), max_new_tokens=6)
+
+    for i in range(2):
+        assert batched.slots[i].llm_output == ref_tokens[i], (
+            f"slot {i}: batched decode diverged from single-stream")
+        if ref_latents[i] is not None:
+            got = np.asarray(outs[i].output_latent, np.float32)
+            np.testing.assert_allclose(got, ref_latents[i], atol=2e-2,
+                                       rtol=2e-2)
+
+
+def test_batched_b1_s1_matches_single_stream(built):
+    cfg, single, batched1 = built
+    b1 = BatchedN1Policy(single.model, single.params, cfg, batch_size=1,
+                         tokenizer=single.tokenizer)
+    latent = jnp.asarray(
+        0.1 * np.random.RandomState(0).randn(
+            1, cfg.n_query, cfg.text.hidden_size), jnp.float32)
+    rgb = np.stack(_frames(7, 2))[None]  # (1, 2, H, W, 3)
+
+    single._rng = jax.random.PRNGKey(42)
+    ref = single.s1_step_latent(rgb, None, latent, num_sample_trajs=4)
+    b1._rng = jax.random.PRNGKey(42)
+    got = b1.s1_step_latent(rgb, latent, num_sample_trajs=4)[0]
+
+    np.testing.assert_allclose(np.asarray(got.trajectory, np.float32),
+                               np.asarray(ref.trajectory, np.float32),
+                               atol=1e-5, rtol=1e-5)
+    assert got.idx == ref.idx
+
+
+def test_batched_s1_shapes(built):
+    cfg, single, batched = built
+    latents = jnp.asarray(
+        0.1 * np.random.RandomState(1).randn(
+            2, cfg.n_query, cfg.text.hidden_size), jnp.float32)
+    rgb = np.stack([np.stack(_frames(8, 2)), np.stack(_frames(9, 2))])
+    outs = batched.s1_step_latent(rgb, latents, num_sample_trajs=4)
+    assert len(outs) == 2
+    for o in outs:
+        assert o.trajectory.shape == (4, cfg.predict_step_nums, 3)
+        assert all(a in (1, 2, 3) for a in o.idx)
+
+
+def test_slot_reset_regroups(built):
+    """After resetting one slot mid-run, rows fall into two history-length
+    groups; both must still produce valid outputs."""
+    cfg, single, batched = built
+    batched.reset(INSTR)
+    f = _frames(33, 4)
+    batched.s2_step(np.stack([f[0], f[1]]), max_new_tokens=4)
+    batched.reset_slot(1, "go straight and stop")
+    outs = batched.s2_step(np.stack([f[2], f[3]]), max_new_tokens=4)
+    assert len(outs) == 2
+    assert all(o is not None for o in outs)
+    # slot 0 has 2 frames of history context, slot 1 has 1
+    assert batched.slots[0].episode_idx == 2
+    assert batched.slots[1].episode_idx == 1
