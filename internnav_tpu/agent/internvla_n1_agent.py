@@ -225,3 +225,150 @@ class InternVLAN1Agent(Agent):
         if self.last_trajectory is not None:
             out["trajectory"] = self.last_trajectory
         return [out]
+
+
+class _DualState:
+    """Per-slot dual-system bookkeeping (mirrors the single agent)."""
+
+    __slots__ = ("action_queue", "latent", "memory_frame", "steps_since_s2",
+                 "last_trajectory", "force_look_down")
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self.action_queue: List[int] = []
+        self.latent = None
+        self.memory_frame: Optional[np.ndarray] = None
+        self.steps_since_s2 = 10**9  # force S2 on the first step
+        self.last_trajectory: Optional[np.ndarray] = None
+        self.force_look_down = False
+
+
+@Agent.register("internvla_n1_batched")
+class BatchedInternVLAN1Agent(Agent):
+    """Batched dual-system agent: B episode slots step through ONE fused
+    S2 program and ONE batched S1 denoise per macro-step (serving.
+    BatchedN1Policy). Per-slot scheduling semantics are identical to
+    InternVLAN1Agent's partial_async mode with synchronous S2 — batching
+    across episodes replaces the reference's background-thread async as
+    the way to keep the accelerator busy.
+
+    The reference cannot express this: its agent API is strictly
+    single-stream (one episode per GPU rank,
+    reference internnav/env/habitat_env.py:72)."""
+
+    def __init__(self, cfg: AgentCfg, policy=None):
+        super().__init__(cfg)
+        settings = cfg.model_settings or {}
+        self.batch_size = int(settings.get("batch_size", 8))
+        if policy is None:
+            from internnav_tpu.model.basemodel.internvla_n1.model import (
+                InternVLAN1Config,
+            )
+            from internnav_tpu.model.basemodel.internvla_n1.policy import (
+                InternVLAN1Policy,
+            )
+            from internnav_tpu.model.basemodel.internvla_n1.serving import (
+                BatchedN1Policy,
+            )
+
+            n1_cfg = settings.get("config") or InternVLAN1Config.tiny(
+                settings.get("system1", "nextdit_async"))
+            single = InternVLAN1Policy.build(n1_cfg)
+            policy = BatchedN1Policy(single.model, single.params, n1_cfg,
+                                     batch_size=self.batch_size,
+                                     tokenizer=single.tokenizer)
+        self.policy = policy
+        self.mode = settings.get("infer_mode", "partial_async")
+        self.sys2_max_forward_step = int(settings.get("sys2_max_forward_step", 8))
+        self.max_local_steps = int(settings.get("max_local_steps", 4))
+        self.max_new_tokens = int(settings.get("max_new_tokens", 128))
+        self.continuous_traj = bool(settings.get("continuous_traj", True))
+        self.num_sample_trajs = int(settings.get("num_sample_trajs", 32))
+        self.states = [_DualState() for _ in range(self.batch_size)]
+        self._instructions = [""] * self.batch_size
+
+    # ------------------------------------------------------------ lifecycle
+    def reset(self, reset_index: Optional[List[int]] = None) -> None:
+        ids = range(self.batch_size) if reset_index is None else reset_index
+        for i in ids:
+            self.states[i].reset()
+            self.policy.reset_slot(i, self._instructions[i])
+
+    def close(self) -> None:
+        pass
+
+    # -------------------------------------------------------------- helpers
+    def _should_infer_s2(self, st: _DualState) -> bool:
+        if self.mode == "sync":
+            return len(st.action_queue) == 0
+        return (st.steps_since_s2 >= self.sys2_max_forward_step
+                or (len(st.action_queue) == 0 and st.latent is None))
+
+    def _consume_s2(self, st: _DualState, out: S2Output,
+                    rgb: np.ndarray) -> None:
+        if out.output_action:
+            acts = [a for a in out.output_action if a != LOOK_DOWN_ACTION]
+            st.action_queue.extend(acts)
+            st.latent = None
+        if out.output_latent is not None:
+            st.latent = out.output_latent
+            st.memory_frame = np.asarray(rgb)
+        st.steps_since_s2 = 0
+
+    # ------------------------------------------------------------------ api
+    def step(self, obs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        assert len(obs) == self.batch_size, (
+            f"expected {self.batch_size} slots, got {len(obs)}")
+        for i, o in enumerate(obs):
+            instr = o.get("instruction_text") or o.get("instruction", "")
+            if not isinstance(instr, str):
+                instr = " ".join(map(str, np.asarray(instr).ravel().tolist()))
+            if instr and instr != self.policy.slots[i].instruction:
+                self.policy.slots[i].instruction = instr
+                self._instructions[i] = instr
+
+        # ---- batched S2 for every slot whose schedule demands it
+        s2_ids = [i for i, st in enumerate(self.states)
+                  if self._should_infer_s2(st)]
+        if s2_ids:
+            imgs = np.stack([np.asarray(obs[i]["rgb"]) for i in s2_ids])
+            outs = self.policy.s2_step(imgs, max_new_tokens=self.max_new_tokens,
+                                       slot_ids=s2_ids)
+            for i, out in zip(s2_ids, outs):
+                self._consume_s2(self.states[i], out,
+                                 np.asarray(obs[i]["rgb"]))
+
+        # ---- batched S1 for every slot holding a latent and no queue
+        s1_ids = [i for i, st in enumerate(self.states)
+                  if not st.action_queue and st.latent is not None]
+        if s1_ids:
+            import jax.numpy as jnp
+
+            rgb2 = np.stack([
+                np.stack([
+                    self.states[i].memory_frame
+                    if self.states[i].memory_frame is not None
+                    else np.asarray(obs[i]["rgb"]),
+                    np.asarray(obs[i]["rgb"]),
+                ]) for i in s1_ids])
+            lat = jnp.concatenate(
+                [jnp.asarray(self.states[i].latent) for i in s1_ids], axis=0)
+            s1_outs = self.policy.s1_step_latent(
+                rgb2, lat, num_sample_trajs=self.num_sample_trajs)
+            for i, s1 in zip(s1_ids, s1_outs):
+                st = self.states[i]
+                st.last_trajectory = s1.trajectory
+                st.action_queue.extend(s1.idx[: self.max_local_steps])
+
+        # ---- pop one action per slot
+        result: List[Dict[str, Any]] = []
+        for st in self.states:
+            action = st.action_queue.pop(0) if st.action_queue else 0
+            st.steps_since_s2 += 1
+            out: Dict[str, Any] = {"action": [int(action)], "ideal_flag": True}
+            if st.last_trajectory is not None:
+                out["trajectory"] = st.last_trajectory
+            result.append(out)
+        return result

@@ -120,21 +120,35 @@ class BatchedN1Policy:
             self.slots[i].vision_cache[k] = tokens[j * per:(j + 1) * per]
 
     # ---------------------------------------------------------------- steps
-    def s2_step(self, images: np.ndarray,
-                max_new_tokens: int = 128) -> List[S2Output]:
-        """One S2 macro-step for every slot. images: (B, H, W, 3) uint8,
-        one new frame per slot. Returns per-slot S2Output."""
+    @staticmethod
+    def _pow2_bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def s2_step(self, images: np.ndarray, max_new_tokens: int = 128,
+                slot_ids: Optional[List[int]] = None) -> List[S2Output]:
+        """One S2 macro-step. images: (N, H, W, 3) uint8, one new frame per
+        stepped slot; `slot_ids` selects which slots step (default: all).
+        Returns S2Outputs aligned with `slot_ids`. Compute rows within each
+        history-length group are padded to a power-of-two bucket so the jit
+        cache stays O(log B) entries per group instead of one per subset
+        size (padded rows duplicate the group's first row; their outputs
+        are discarded)."""
         inner = self.inner
         cfg = self.cfg
-        B = self.batch_size
+        if slot_ids is None:
+            slot_ids = list(range(self.batch_size))
+        B = len(slot_ids)
         assert images.shape[0] == B
-        for i, s in enumerate(self.slots):
-            s.rgb_list.append(np.asarray(images[i]))
-        frame_keys = {i: self._slot_frame_keys(s)
-                      for i, s in enumerate(self.slots)}
-        self._encode_new_frames(list(range(B)))
-        for s in self.slots:
-            s.episode_idx += 1
+        for r, i in enumerate(slot_ids):
+            self.slots[i].rgb_list.append(np.asarray(images[r]))
+        frame_keys = {i: self._slot_frame_keys(self.slots[i])
+                      for i in slot_ids}
+        self._encode_new_frames(slot_ids)
+        for i in slot_ids:
+            self.slots[i].episode_idx += 1
 
         hw = images.shape[1:3]
         h = hw[0] // cfg.vision.patch_size
@@ -142,10 +156,10 @@ class BatchedN1Policy:
 
         # group rows by history length so image-token layout is uniform
         groups: Dict[int, List[int]] = {}
-        for i in range(B):
+        for i in slot_ids:
             groups.setdefault(len(frame_keys[i]), []).append(i)
 
-        outs: List[Optional[S2Output]] = [None] * B
+        by_slot: Dict[int, S2Output] = {}
         for n_images, rows in sorted(groups.items()):
             ids_rows, pos_rows, deltas, tok_rows = [], [], [], []
             for i in rows:
@@ -160,12 +174,19 @@ class BatchedN1Policy:
                 ids_rows.append(ids[0])
                 pos_rows.append(np.asarray(pos)[:, 0])  # (3, P_i)
                 deltas.append(int(np.asarray(delta)[0, 0]))
-                tok_rows.extend(s.vision_cache[k] for k in frame_keys[i])
+                tok_rows.append([s.vision_cache[k] for k in frame_keys[i]])
+
+            # pad the group to a power-of-two compute batch (row 0 repeated)
+            Bg = self._pow2_bucket(len(rows))
+            while len(ids_rows) < Bg:
+                ids_rows.append(ids_rows[0])
+                pos_rows.append(pos_rows[0])
+                deltas.append(deltas[0])
+                tok_rows.append(tok_rows[0])
 
             bucket = inner.PROMPT_BUCKET
             p_max = max(len(r) for r in ids_rows)
             T = -(-p_max // bucket) * bucket
-            Bg = len(rows)
             eos = inner.tokenizer.eos_token_id
             padded_ids = np.full((Bg, T), eos, np.int64)
             padded_pos = np.zeros((3, Bg, T), np.int64)
@@ -179,7 +200,8 @@ class BatchedN1Policy:
                 padded_pos[:, r, P:] = pad_pos
                 prompt_seg[r, P:] = 1
                 prompt_len[r] = P
-            img_tokens = jnp.concatenate(tok_rows, axis=0)
+            img_tokens = jnp.concatenate(
+                [t for row in tok_rows for t in row], axis=0)
 
             key = (f"fusedB_{padded_ids.shape}_{img_tokens.shape}_"
                    f"{max_new_tokens}")
@@ -206,8 +228,8 @@ class BatchedN1Policy:
                     out.output_latent = latents[r:r + 1]
                 else:
                     out.output_action = parse_actions(text)
-                outs[i] = out
-        return outs  # type: ignore[return-value]
+                by_slot[i] = out
+        return [by_slot[i] for i in slot_ids]
 
     def s1_step_latent(self, rgb: np.ndarray, latents,
                        num_sample_trajs: int = 32) -> List[S1Output]:
@@ -221,6 +243,14 @@ class BatchedN1Policy:
             raise NotImplementedError("batched serving targets the nextdit "
                                       "System-1 (flagship config)")
         rgb_u8 = np.asarray(rgb, np.uint8)
+        latents = jnp.asarray(latents)
+        # pad to a power-of-two compute batch (jit cache stays O(log B))
+        Bp = self._pow2_bucket(B)
+        if Bp != B:
+            rgb_u8 = np.concatenate(
+                [rgb_u8, np.repeat(rgb_u8[:1], Bp - B, axis=0)], axis=0)
+            latents = jnp.concatenate(
+                [latents, jnp.repeat(latents[:1], Bp - B, axis=0)], axis=0)
         key = f"s1B_{rgb_u8.shape}_{num_sample_trajs}"
         if key not in inner._jit_cache:
             # normalize on-device: only uint8 pixels cross the link
@@ -237,9 +267,9 @@ class BatchedN1Policy:
 
             inner._jit_cache[key] = jax.jit(fn)
         dp = np.asarray(inner._jit_cache[key](
-            inner.params, jnp.asarray(latents), jnp.asarray(rgb_u8), sub))
+            inner.params, latents, jnp.asarray(rgb_u8), sub))
         P = dp.shape[-2]
-        dp = dp.reshape(B, num_sample_trajs, P, 3)
+        dp = dp.reshape(Bp, num_sample_trajs, P, 3)
         outs = []
         for i in range(B):
             action_list = [a for a in traj_to_actions(dp[i]) if a != 0]

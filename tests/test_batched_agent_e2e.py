@@ -1,0 +1,152 @@
+"""Batched dual-system agent: scheduling parity + full evaluator loop.
+
+The batched agent must reproduce the single InternVLAN1Agent's
+scheduling/action semantics per slot exactly (S2 cadence, latent
+consumption, S1 micro-step budget, step accounting) — batching is a
+throughput transform only. Scheduling is verified bit-exactly against
+scripted stub policies (model outputs held constant across both agents);
+numerical S2 parity of the real batched policy is covered by
+tests/test_serving_batched.py. A second test drives the real small-config
+model through VLNBatchedEvaluator end to end on the fake env.
+"""
+
+from typing import List, Optional
+
+import numpy as np
+import pytest
+
+from __graft_entry__ import _small_n1_config
+from internnav_tpu.agent.internvla_n1_agent import (
+    BatchedInternVLAN1Agent,
+    InternVLAN1Agent,
+)
+from internnav_tpu.configs import AgentCfg, EnvCfg, EvalCfg, EvalDatasetCfg, TaskCfg
+from internnav_tpu.evaluator import VLNBatchedEvaluator
+from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
+from internnav_tpu.model.basemodel.internvla_n1.serving import BatchedN1Policy
+from internnav_tpu.model.utils.vln_utils import S1Output, S2Output
+
+from tests.test_eval_e2e import make_episodes
+
+
+# --------------------------------------------------------------- stub policies
+class _Script:
+    """Deterministic per-slot S2/S1 outputs keyed by call count."""
+
+    def __init__(self, s2_kinds: List[str]):
+        self.s2_kinds = s2_kinds  # 'latent' or 'actions'
+        self.s2_calls = {0: 0, 1: 0}
+        self.s1_calls = {0: 0, 1: 0}
+
+    def s2(self, slot: int) -> S2Output:
+        k = self.s2_kinds[self.s2_calls[slot] % len(self.s2_kinds)]
+        self.s2_calls[slot] += 1
+        if k == "latent":
+            return S2Output(output_pixel=np.array([5, 7]),
+                            output_latent=np.ones((1, 2, 4)) * slot)
+        return S2Output(output_action=[2, 3, 0])
+
+    def s1(self, slot: int) -> S1Output:
+        self.s1_calls[slot] += 1
+        return S1Output(idx=[1, 1, 3, 2], trajectory=np.zeros((4, 8, 3)))
+
+
+class _StubSlot:
+    def __init__(self):
+        self.instruction = ""
+
+
+class _StubBatchedPolicy:
+    def __init__(self, script: _Script, batch: int):
+        self.script = script
+        self.slots = [_StubSlot() for _ in range(batch)]
+
+    def reset_slot(self, i, instruction):
+        self.slots[i].instruction = instruction
+
+    def s2_step(self, images, max_new_tokens=128, slot_ids=None):
+        return [self.script.s2(i) for i in slot_ids]
+
+    def s1_step_latent(self, rgb, latents, num_sample_trajs=32):
+        n = rgb.shape[0]
+        return [self.script.s1(j) for j in range(n)]
+
+
+class _StubSinglePolicy:
+    def __init__(self, script: _Script, slot: int):
+        self.script = script
+        self.slot = slot
+
+    def reset(self):
+        pass
+
+    def s2_step(self, rgb, instruction, look_down=False, max_new_tokens=128):
+        return self.script.s2(self.slot)
+
+    def s1_step_latent(self, rgb2, depth2, latent, continuous_traj=True,
+                       num_sample_trajs=32):
+        return self.script.s1(self.slot)
+
+
+def _obs(seed, t, instr):
+    rs = np.random.RandomState(seed * 1000 + t)
+    return {
+        "rgb": rs.randint(0, 255, (56, 56, 3)).astype(np.uint8),
+        "depth": rs.rand(56, 56, 1).astype(np.float32),
+        "instruction_text": instr,
+    }
+
+
+@pytest.mark.parametrize("s2_kinds", [["latent"], ["actions"],
+                                      ["latent", "actions"]])
+def test_batched_agent_scheduling_matches_single(s2_kinds):
+    settings = dict(infer_mode="partial_async", sys2_max_forward_step=3,
+                    max_local_steps=2, async_s2=False)
+    steps = 10
+    instr = ["walk to the kitchen", "turn left at the red door"]
+
+    batched = BatchedInternVLAN1Agent(
+        AgentCfg(model_name="internvla_n1_batched",
+                 model_settings={**settings, "batch_size": 2}),
+        policy=_StubBatchedPolicy(_Script(list(s2_kinds)), 2))
+    got = {0: [], 1: []}
+    for t in range(steps):
+        outs = batched.step([_obs(0, t, instr[0]), _obs(1, t, instr[1])])
+        for i in range(2):
+            got[i].append(outs[i]["action"][0])
+
+    for i in range(2):
+        agent = InternVLAN1Agent(
+            AgentCfg(model_name="internvla_n1", model_settings=settings),
+            policy=_StubSinglePolicy(_Script(list(s2_kinds)), i))
+        want = []
+        for t in range(steps):
+            out = agent.step([_obs(i, t, instr[i])])
+            want.append(out[0]["action"][0])
+        assert got[i] == want, f"slot {i} ({s2_kinds}): {got[i]} != {want}"
+
+
+def test_batched_agent_e2e_eval(tmp_path):
+    cfg = _small_n1_config()
+    single_policy = InternVLAN1Policy.build(cfg, image_hw=56)
+    policy = BatchedN1Policy(single_policy.model, single_policy.params, cfg,
+                             batch_size=2, tokenizer=single_policy.tokenizer)
+    agent = BatchedInternVLAN1Agent(
+        AgentCfg(model_name="internvla_n1_batched",
+                 model_settings={"batch_size": 2, "max_new_tokens": 4,
+                                 "num_sample_trajs": 4, "config": cfg}),
+        policy=policy)
+    eval_cfg = EvalCfg(
+        agent=AgentCfg(model_name="internvla_n1_batched"),
+        env=EnvCfg(env_type="fake", env_num=2,
+                   env_settings={"rgb_resolution": [56, 56],
+                                 "depth_resolution": [56, 56]}),
+        task=TaskCfg(max_step=4),
+        dataset=EvalDatasetCfg(),
+        eval_type="vln_batched",
+        output_dir=str(tmp_path / "eval_out"),
+    )
+    ev = VLNBatchedEvaluator(eval_cfg, episodes=make_episodes(3), agent=agent)
+    metrics = ev.eval()
+    assert metrics["num_episodes"] == 3
+    assert (tmp_path / "eval_out" / "result.json").exists()
