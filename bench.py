@@ -2,11 +2,17 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...detail}.
 
-Default mode measures the flagship at TRUE Qwen2.5-VL-7B dimensions
-(hidden 3584, 28 heads / 4 KV heads, MLP 18944, vocab 152064, 32-block
-ViT-1280, NextDiT-12L/384d System-1) with random bf16 weights — no
+Default mode measures BATCHED MULTI-EPISODE SERVING at TRUE Qwen2.5-VL-7B
+dimensions (hidden 3584, 28 heads / 4 KV heads, MLP 18944, vocab 152064,
+32-block ViT-1280, NextDiT-12L/384d System-1) with random weights — no
 checkpoint can be downloaded here (zero egress), but the FLOPs/bytes are
-the real model's.
+the real model's. B=8 independent episode streams step through one fused
+S2 program (serving.BatchedN1Policy, driven in production by
+BatchedInternVLAN1Agent + VLNBatchedEvaluator); decode is HBM-bound, so
+batching amortizes the weight stream across episodes — a capability the
+reference's one-episode-per-GPU-rank evaluator cannot express.
+Single-stream modes: --bf16 (parity config, 3-point layer fit), --int8
+(resident full model).
 
 One macro-cycle matches the reference's partial_async schedule
 (internnav/agent/internvla_n1_agent.py:210-241): 1 System-2 pass
@@ -386,11 +392,16 @@ def main() -> None:
     ap.add_argument("--small", action="store_true",
                     help="reduced-dimension smoke config instead of 7B dims")
     ap.add_argument("--int8", action="store_true",
-                    help="full 28-layer model resident via int8 weight-only "
-                         "projections (deployment mode)")
-    ap.add_argument("--batch", type=int, default=0,
-                    help="batched multi-episode serving at this batch size "
-                         "(int8 resident full model)")
+                    help="single-stream, full 28-layer model resident via "
+                         "int8 weight-only projections")
+    ap.add_argument("--bf16", action="store_true",
+                    help="single-stream bf16 parity config (3-point layer "
+                         "fit; the model does not fit resident in bf16)")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="batched multi-episode serving batch size (int8 "
+                         "resident full model). The DEFAULT mode: the "
+                         "framework's batched evaluator really serves B "
+                         "episode streams per chip")
     args = ap.parse_args()
 
     import jax
@@ -402,12 +413,12 @@ def main() -> None:
 
     if args.small:
         result = bench_small()
-    elif args.batch:
-        result = bench_batched(args.batch)
     elif args.int8:
         result = bench_int8()
-    else:
+    elif args.bf16:
         result = bench_full()
+    else:
+        result = bench_batched(args.batch)
     print(json.dumps(result))
 
 
