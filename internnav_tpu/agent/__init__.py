@@ -4,7 +4,10 @@ from internnav_tpu.agent.recurrent_agent import CmaAgent, Seq2SeqAgent
 from internnav_tpu.agent.simple_agent import SimpleAgent
 
 __all__ = ["Agent", "agent_registry", "CmaAgent", "Seq2SeqAgent", "SimpleAgent", "RdpAgent"]
-from internnav_tpu.agent.internvla_n1_agent import InternVLAN1Agent  # noqa: E402
+from internnav_tpu.agent.internvla_n1_agent import (  # noqa: E402
+    BatchedInternVLAN1Agent,
+    InternVLAN1Agent,
+)
 
 __all__.append("InternVLAN1Agent")
 from internnav_tpu.agent.navdp_agent import NavDPAgent  # noqa: E402

@@ -218,6 +218,10 @@ class InternVLAN1Model(nn.Module):
         (internvla_n1.py:236-255)."""
         B, S = images_dp.shape[:2]
         flat = images_dp.reshape((-1,) + images_dp.shape[2:])
+        # compute dtype follows the text trunk (bf16 deployment parity);
+        # with bf16 params the DINOv2 tower then runs at the MXU bf16 rate
+        # instead of promoting everything to fp32
+        flat = flat.astype(self.cfg.text.dtype)
         feats = self.rgb_model(flat)  # (B*S, P, rgb_dim)
         feats = feats.reshape(B, -1, feats.shape[-1])  # (B, S*P, rgb_dim)
         mem = self.memory_encoder(feats)
