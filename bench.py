@@ -230,13 +230,14 @@ def _measure_batched_cycle(policy, cfg, instruction: str, cycles: int,
     rs = np.random.RandomState(0)
     img = rs.randint(0, 255, (IMAGE_HW, IMAGE_HW, 3)).astype(np.uint8)
     imgs = np.stack([img] * batch)
-    rgb2 = np.broadcast_to(np.stack([img, img])[None],
-                           (batch, 2, IMAGE_HW, IMAGE_HW, 3))
 
     policy.reset([instruction] * batch)
     for s in policy.slots:  # saturate history
         s.rgb_list = [img] * 8
         s.episode_idx = 8
+        # random weights may decode no pixel goal, so seed the device-side
+        # memory frame that s2_step would cache on a latent refresh
+        s.s1_mem_frame = jnp.asarray(img)
 
     def cycle():
         outs = policy.s2_step(imgs, max_new_tokens=DECODE_TOKENS)
@@ -245,8 +246,12 @@ def _measure_batched_cycle(policy, cfg, instruction: str, cycles: int,
             else jnp.zeros((1, cfg.n_query, cfg.text.hidden_size),
                            jnp.bfloat16)
             for o in outs], axis=0)
-        policy.s1_step_latent(rgb2, lat, num_sample_trajs=NUM_SAMPLE_TRAJS)
-        policy.s1_step_latent(rgb2, lat, num_sample_trajs=NUM_SAMPLE_TRAJS)
+        for s in policy.slots:  # latent refresh: memory feats recompute,
+            s.s1_mem_feats = None  # exactly as after a real s2 latent
+        # production path: each S1 call ships ONE new current frame per
+        # stream; the memory frame + features are device-cached
+        policy.s1_step_latent(imgs, lat, num_sample_trajs=NUM_SAMPLE_TRAJS)
+        policy.s1_step_latent(imgs, lat, num_sample_trajs=NUM_SAMPLE_TRAJS)
 
     cycle()  # warmup/compile (also encodes the 8 history frames per slot)
     best = float("inf")

@@ -340,23 +340,20 @@ class BatchedInternVLAN1Agent(Agent):
                 self._consume_s2(self.states[i], out,
                                  np.asarray(obs[i]["rgb"]))
 
-        # ---- batched S1 for every slot holding a latent and no queue
+        # ---- batched S1 for every slot holding a latent and no queue;
+        # only the CURRENT frames are shipped — each slot's memory frame
+        # (and its DINOv2 features) is cached on device by the policy
         s1_ids = [i for i, st in enumerate(self.states)
                   if not st.action_queue and st.latent is not None]
         if s1_ids:
             import jax.numpy as jnp
 
-            rgb2 = np.stack([
-                np.stack([
-                    self.states[i].memory_frame
-                    if self.states[i].memory_frame is not None
-                    else np.asarray(obs[i]["rgb"]),
-                    np.asarray(obs[i]["rgb"]),
-                ]) for i in s1_ids])
+            cur = np.stack([np.asarray(obs[i]["rgb"]) for i in s1_ids])
             lat = jnp.concatenate(
                 [jnp.asarray(self.states[i].latent) for i in s1_ids], axis=0)
             s1_outs = self.policy.s1_step_latent(
-                rgb2, lat, num_sample_trajs=self.num_sample_trajs)
+                cur, lat, num_sample_trajs=self.num_sample_trajs,
+                slot_ids=s1_ids)
             for i, s1 in zip(s1_ids, s1_outs):
                 st = self.states[i]
                 st.last_trajectory = s1.trajectory

@@ -212,22 +212,33 @@ class InternVLAN1Model(nn.Module):
         x = nn.gelu(x, approximate=True)
         return self.cond_projector[1](x)
 
+    def rgb_feats(self, images):
+        """DINOv2 patch features for a stack of ImageNet-normalized frames:
+        (N, H, W, 3) → (N, P, rgb_dim). Split out so serving can cache the
+        memory frame's features across System-1 calls (the reference
+        re-encodes both frames every call, internvla_n1.py:365-379)."""
+        # compute dtype follows the text trunk (bf16 deployment parity);
+        # with bf16 params the DINOv2 tower then runs at the MXU bf16 rate
+        # instead of promoting everything to fp32
+        return self.rgb_model(images.astype(self.cfg.text.dtype))
+
+    def memory_tokens_from_feats(self, feats):
+        """(B, S*P, rgb_dim) concatenated per-frame DINOv2 features →
+        (B, 32, latent) QFormer tokens (internvla_n1.py:236-255)."""
+        mem = self.memory_encoder(feats)
+        mem = jnp.concatenate([feats, mem], axis=-1)
+        mem = self.memory_proj(mem)
+        return self.rgb_resampler(mem)
+
     def memory_tokens_from_images(self, images_dp):
         """images_dp: (B, 2, H, W, 3) [pixel-goal frame, current frame],
         ImageNet-normalized. → (B, 32, latent) QFormer tokens
         (internvla_n1.py:236-255)."""
         B, S = images_dp.shape[:2]
         flat = images_dp.reshape((-1,) + images_dp.shape[2:])
-        # compute dtype follows the text trunk (bf16 deployment parity);
-        # with bf16 params the DINOv2 tower then runs at the MXU bf16 rate
-        # instead of promoting everything to fp32
-        flat = flat.astype(self.cfg.text.dtype)
-        feats = self.rgb_model(flat)  # (B*S, P, rgb_dim)
+        feats = self.rgb_feats(flat)  # (B*S, P, rgb_dim)
         feats = feats.reshape(B, -1, feats.shape[-1])  # (B, S*P, rgb_dim)
-        mem = self.memory_encoder(feats)
-        mem = jnp.concatenate([feats, mem], axis=-1)
-        mem = self.memory_proj(mem)
-        return self.rgb_resampler(mem)
+        return self.memory_tokens_from_feats(feats)
 
     def nextdit_velocity(self, noisy_traj, timestep, z_latents):
         """action features → DiT → decoded velocity (B, T, 3)."""
@@ -252,18 +263,62 @@ class InternVLAN1Model(nn.Module):
             hidden = jnp.concatenate([mem, lat], axis=1)
         else:
             hidden = lat
-        B = hidden.shape[0]
-        null = jnp.zeros_like(hidden)
-        cond2 = jnp.concatenate([null, hidden], axis=0)
-        cond2 = jnp.repeat(cond2, num_sample_trajs, axis=0)
+        return self._denoise_hidden(hidden, rng, guidance_scale,
+                                    num_inference_steps, num_sample_trajs, P)
 
+    def generate_traj_nextdit_cached(self, traj_latents, mem_feats,
+                                     current_images, *, rng,
+                                     guidance_scale: float = 1.0,
+                                     num_inference_steps: int = 10,
+                                     num_sample_trajs: int = 32,
+                                     predict_step_nums: Optional[int] = None):
+        """generate_traj_nextdit with the memory frame's DINOv2 features
+        precomputed (`rgb_feats`): only the current frame is encoded here.
+        Mathematically identical to passing both frames as pixels — the two
+        towers' features are concatenated either way. Serving caches
+        mem_feats on device across the ≤sys2_max_forward_step System-1
+        calls that share one S2 latent, so each call uploads and encodes
+        exactly one new frame per stream."""
+        c = self.cfg
+        P = predict_step_nums or c.predict_step_nums
+        lat = self._project_latents(traj_latents)
+        if "async" in c.system1:
+            cur = self.rgb_feats(current_images)
+            feats = jnp.concatenate([mem_feats, cur], axis=1)
+            mem = self.memory_tokens_from_feats(feats)
+            hidden = jnp.concatenate([mem, lat], axis=1)
+        else:
+            hidden = lat  # non-async nextdit conditions on latents only
+        return self._denoise_hidden(hidden, rng, guidance_scale,
+                                    num_inference_steps, num_sample_trajs, P)
+
+    def _denoise_hidden(self, hidden, rng, guidance_scale,
+                        num_inference_steps, num_sample_trajs, P):
+        B = hidden.shape[0]
         x_init = jax.random.normal(rng, (B * num_sample_trajs, P, 3))
 
-        def velocity(x, t):
-            x2 = jnp.concatenate([x, x], axis=0)
-            v = self.nextdit_velocity(x2, jnp.broadcast_to(t, (x2.shape[0],)), cond2)
-            v_u, v_c = v[: x.shape[0]], v[x.shape[0]:]
-            return v_u + guidance_scale * (v_c - v_u)
+        if guidance_scale == 1.0:
+            # The reference always denoises with its default
+            # guidance_scale=1.0 (internvla_n1.py:355; no caller overrides
+            # it), where u + 1.0*(c - u) == c exactly: the unconditional
+            # branch is dead compute. Run the conditional branch only —
+            # halves the DiT batch with output equal up to float epsilon.
+            cond = jnp.repeat(hidden, num_sample_trajs, axis=0)
+
+            def velocity(x, t):
+                return self.nextdit_velocity(
+                    x, jnp.broadcast_to(t, (x.shape[0],)), cond)
+        else:
+            null = jnp.zeros_like(hidden)
+            cond2 = jnp.concatenate([null, hidden], axis=0)
+            cond2 = jnp.repeat(cond2, num_sample_trajs, axis=0)
+
+            def velocity(x, t):
+                x2 = jnp.concatenate([x, x], axis=0)
+                v = self.nextdit_velocity(
+                    x2, jnp.broadcast_to(t, (x2.shape[0],)), cond2)
+                v_u, v_c = v[: x.shape[0]], v[x.shape[0]:]
+                return v_u + guidance_scale * (v_c - v_u)
 
         return self.noise_scheduler.denoise_scan(velocity, x_init, num_inference_steps)
 

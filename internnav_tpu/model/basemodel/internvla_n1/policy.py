@@ -227,7 +227,8 @@ class InternVLAN1Policy:
         host→device link as uint8; normalization + patchification run
         on-device (preprocess_images_device)."""
         cfg = self.cfg
-        images = np.asarray(images)
+        if not isinstance(images, jnp.ndarray):
+            images = np.asarray(images)  # jnp stays on device (no fetch)
         n, h, w = images.shape[:3]
         grid, dev_idx = self._vision_host_indices(n, h, w)
         key = f"vis_{images.shape}"

@@ -56,7 +56,7 @@ class _Slot:
     """Host-side state for one episode stream."""
 
     __slots__ = ("rgb_list", "episode_idx", "instruction", "vision_cache",
-                 "active", "llm_output")
+                 "active", "llm_output", "s1_mem_frame", "s1_mem_feats")
 
     def __init__(self) -> None:
         self.reset("")
@@ -68,6 +68,13 @@ class _Slot:
         self.vision_cache: Dict[int, Any] = {}
         self.active = True
         self.llm_output = ""
+        # System-1 memory frame, cached on DEVICE: the uint8 frame that
+        # produced the current latent (uploaded once, at S2 time), and its
+        # DINOv2 features (computed by the first S1 call, reused by the
+        # rest). The reference re-uploads and re-encodes both frames every
+        # call (internvla_n1.py:365-379).
+        self.s1_mem_frame: Any = None
+        self.s1_mem_feats: Any = None
 
 
 class BatchedN1Policy:
@@ -102,19 +109,44 @@ class BatchedN1Policy:
                 dtype=np.int32)).tolist()
         return sorted(int(k) for k in hist) + [len(slot.rgb_list) - 1]
 
-    def _encode_new_frames(self, slots: List[int]) -> None:
-        """One batched ViT call over every slot's not-yet-cached frames."""
+    def _encode_new_frames(self, slots: List[int],
+                           dev_current=None,
+                           current_row: Optional[Dict[int, int]] = None) -> None:
+        """One batched ViT call over every slot's not-yet-cached frames.
+
+        `dev_current` is the already-uploaded (B, H, W, 3) uint8 device
+        stack of this step's frames (row per `current_row[slot]`): in the
+        steady state the only uncached frame per slot is the current one,
+        so no extra host→device transfer happens here. Frames seeded
+        host-side (resume / first steps) are batched into one upload."""
         todo: List[tuple] = []  # (slot_idx, frame_idx)
-        imgs: List[np.ndarray] = []
+        host_imgs: List[np.ndarray] = []
+        parts: List[Any] = []
         for i in slots:
             s = self.slots[i]
             for k in self._slot_frame_keys(s):
                 if k not in s.vision_cache:
+                    cur_idx = len(s.rgb_list) - 1
+                    if (dev_current is not None and current_row is not None
+                            and k == cur_idx and i in current_row):
+                        parts.append(("dev", current_row[i]))
+                    else:
+                        parts.append(("host", len(host_imgs)))
+                        host_imgs.append(s.rgb_list[k])
                     todo.append((i, k))
-                    imgs.append(s.rgb_list[k])
         if not todo:
             return
-        tokens, grid = self.inner._encode_images(np.stack(imgs))
+        if host_imgs and parts and any(p[0] == "dev" for p in parts):
+            host_dev = jnp.asarray(
+                np.stack(host_imgs).astype(np.uint8))  # one upload
+            stack = jnp.stack([
+                dev_current[r] if kind == "dev" else host_dev[r]
+                for kind, r in parts])
+        elif host_imgs:
+            stack = np.stack(host_imgs)
+        else:
+            stack = jnp.stack([dev_current[r] for _, r in parts])
+        tokens, grid = self.inner._encode_images(stack)
         per = tokens.shape[0] // len(todo)
         for j, (i, k) in enumerate(todo):
             self.slots[i].vision_cache[k] = tokens[j * per:(j + 1) * per]
@@ -142,11 +174,15 @@ class BatchedN1Policy:
             slot_ids = list(range(self.batch_size))
         B = len(slot_ids)
         assert images.shape[0] == B
+        # ONE host→device upload of this step's frames; the rows are reused
+        # for the ViT encode and as cached System-1 memory frames
+        dev_imgs = jnp.asarray(np.asarray(images, np.uint8))
+        current_row = {i: r for r, i in enumerate(slot_ids)}
         for r, i in enumerate(slot_ids):
             self.slots[i].rgb_list.append(np.asarray(images[r]))
         frame_keys = {i: self._slot_frame_keys(self.slots[i])
                       for i in slot_ids}
-        self._encode_new_frames(slot_ids)
+        self._encode_new_frames(slot_ids, dev_imgs, current_row)
         for i in slot_ids:
             self.slots[i].episode_idx += 1
 
@@ -226,15 +262,91 @@ class BatchedN1Policy:
                     if len(coords) >= 2:
                         out.output_pixel = np.array([coords[1], coords[0]])
                     out.output_latent = latents[r:r + 1]
+                    # this step's frame becomes the System-1 memory frame
+                    # for the new latent (agent._consume_s2 semantics); it
+                    # is already on device — no re-upload at S1 time
+                    self.slots[i].s1_mem_frame = dev_imgs[current_row[i]]
+                    self.slots[i].s1_mem_feats = None
                 else:
                     out.output_action = parse_actions(text)
                 by_slot[i] = out
         return [by_slot[i] for i in slot_ids]
 
+    _S1_MEAN = (0.485, 0.456, 0.406)
+    _S1_STD = (0.229, 0.224, 0.225)
+
+    def _s1_norm(self, raw):
+        mean = jnp.asarray(self._S1_MEAN, jnp.float32)
+        std = jnp.asarray(self._S1_STD, jnp.float32)
+        return (raw.astype(jnp.float32) / 255.0 - mean) / std
+
+    def _s1_legacy_fn(self, num_sample_trajs: int):
+        """(params, latents, rgb_pairs_u8 (B,2,H,W,3)) → trajs."""
+        inner = self.inner
+
+        def fn(p, lat, raw, r):
+            im = self._s1_norm(raw)
+            return inner.model.apply(
+                {"params": p},
+                method=lambda mdl: mdl.generate_traj_nextdit(
+                    lat, im, rng=r, num_sample_trajs=num_sample_trajs),
+            )
+
+        return jax.jit(fn)
+
+    def _s1_full_fn(self, num_sample_trajs: int):
+        """(params, latents, mem_u8 (B,H,W,3), cur_u8 (B,H,W,3)) →
+        (trajs, mem_feats): encodes both frames, returns the memory frame's
+        DINOv2 features for caching."""
+        inner = self.inner
+
+        def fn(p, lat, mem_u8, cur_u8, r):
+            def run(mdl):
+                mem_feats = mdl.rgb_feats(self._s1_norm(mem_u8))
+                dp = mdl.generate_traj_nextdit_cached(
+                    lat, mem_feats, self._s1_norm(cur_u8), rng=r,
+                    num_sample_trajs=num_sample_trajs)
+                return dp, mem_feats
+
+            return inner.model.apply({"params": p}, method=run)
+
+        return jax.jit(fn)
+
+    def _s1_cached_fn(self, num_sample_trajs: int):
+        """(params, latents, mem_feats, cur_u8) → trajs: the memory frame's
+        features are already on device; only the current frame is encoded."""
+        inner = self.inner
+
+        def fn(p, lat, mem_feats, cur_u8, r):
+            return inner.model.apply(
+                {"params": p},
+                method=lambda mdl: mdl.generate_traj_nextdit_cached(
+                    lat, mem_feats, self._s1_norm(cur_u8), rng=r,
+                    num_sample_trajs=num_sample_trajs),
+            )
+
+        return jax.jit(fn)
+
+    def _pad_rows(self, arr, Bp: int):
+        if arr.shape[0] == Bp:
+            return arr
+        reps = jnp.repeat(arr[:1], Bp - arr.shape[0], axis=0)
+        return jnp.concatenate([jnp.asarray(arr), reps], axis=0)
+
     def s1_step_latent(self, rgb: np.ndarray, latents,
-                       num_sample_trajs: int = 32) -> List[S1Output]:
-        """Batched System-1: rgb (B, 2, H, W, 3); latents (B, n_q, D) —
-        one fused flow-matching denoise over all rows' samples."""
+                       num_sample_trajs: int = 32,
+                       slot_ids: Optional[List[int]] = None) -> List[S1Output]:
+        """Batched System-1 flow-matching denoise over all rows' samples.
+
+        Two input forms:
+        - rgb (B, H, W, 3): CURRENT frames only (production path). The
+          memory frame for each row comes from the per-slot device cache
+          populated by `s2_step` (zero re-upload), and its DINOv2 features
+          are computed once per latent and reused by subsequent calls —
+          each call uploads and encodes exactly one new frame per stream.
+        - rgb (B, 2, H, W, 3): explicit [memory, current] pixel pairs
+          (legacy/parity path, matches the single-stream policy API).
+        """
         inner = self.inner
         cfg = self.cfg
         self._rng, sub = jax.random.split(self._rng)
@@ -242,32 +354,69 @@ class BatchedN1Policy:
         if "nextdit" not in cfg.system1:
             raise NotImplementedError("batched serving targets the nextdit "
                                       "System-1 (flagship config)")
-        rgb_u8 = np.asarray(rgb, np.uint8)
+        if slot_ids is None:
+            slot_ids = list(range(B))
         latents = jnp.asarray(latents)
-        # pad to a power-of-two compute batch (jit cache stays O(log B))
-        Bp = self._pow2_bucket(B)
-        if Bp != B:
-            rgb_u8 = np.concatenate(
-                [rgb_u8, np.repeat(rgb_u8[:1], Bp - B, axis=0)], axis=0)
-            latents = jnp.concatenate(
-                [latents, jnp.repeat(latents[:1], Bp - B, axis=0)], axis=0)
-        key = f"s1B_{rgb_u8.shape}_{num_sample_trajs}"
-        if key not in inner._jit_cache:
-            # normalize on-device: only uint8 pixels cross the link
-            mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-            std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+        Bp = self._pow2_bucket(B)  # pow-2 compute batch: O(log B) jit cache
+        latents_p = self._pad_rows(latents, Bp)
 
-            def fn(p, lat, raw, r):
-                im = (raw.astype(jnp.float32) / 255.0 - mean) / std
-                return inner.model.apply(
-                    {"params": p},
-                    method=lambda mdl: mdl.generate_traj_nextdit(
-                        lat, im, rng=r, num_sample_trajs=num_sample_trajs),
-                )
+        if rgb.ndim == 5:  # legacy [memory, current] pairs
+            rgb_u8 = np.asarray(rgb, np.uint8)
+            if Bp != B:
+                rgb_u8 = np.concatenate(
+                    [rgb_u8, np.repeat(rgb_u8[:1], Bp - B, axis=0)], axis=0)
+            key = f"s1B_{rgb_u8.shape}_{num_sample_trajs}"
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = self._s1_legacy_fn(num_sample_trajs)
+            dp = np.asarray(inner._jit_cache[key](
+                inner.params, latents_p, jnp.asarray(rgb_u8), sub))
+            return self._s1_outputs(dp, B, Bp, num_sample_trajs)
 
-            inner._jit_cache[key] = jax.jit(fn)
-        dp = np.asarray(inner._jit_cache[key](
-            inner.params, latents, jnp.asarray(rgb_u8), sub))
+        assert rgb.ndim == 4, f"rgb must be (B,H,W,3) or (B,2,H,W,3), got {rgb.shape}"
+        if "async" not in cfg.system1:
+            # non-async nextdit ignores frames: latents-only denoise
+            key = f"s1Bnoimg_{Bp}_{num_sample_trajs}"
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = jax.jit(
+                    lambda p, lat, r: inner.model.apply(
+                        {"params": p},
+                        method=lambda mdl: mdl.generate_traj_nextdit(
+                            lat, None, rng=r,
+                            num_sample_trajs=num_sample_trajs)))
+            dp = np.asarray(inner._jit_cache[key](inner.params, latents_p, sub))
+            return self._s1_outputs(dp, B, Bp, num_sample_trajs)
+        cur_u8 = jnp.asarray(np.asarray(rgb, np.uint8))  # one upload
+        slots = [self.slots[i] for i in slot_ids]
+        assert all(s.s1_mem_frame is not None for s in slots), (
+            "current-frames-only S1 requires a cached memory frame; "
+            "run s2_step first (it caches the frame that produced the latent)")
+        fresh = [s.s1_mem_feats is None for s in slots]
+        if any(fresh):
+            # first call for at least one latent: encode memory frames too,
+            # cache their features (no pixel upload — frames are device-side)
+            mem_u8 = self._pad_rows(jnp.stack([s.s1_mem_frame for s in slots]), Bp)
+            key = f"s1Bfull_{(Bp,) + rgb.shape[1:]}_{num_sample_trajs}"
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = self._s1_full_fn(num_sample_trajs)
+            dp_dev, mem_feats = inner._jit_cache[key](
+                inner.params, latents_p, mem_u8,
+                self._pad_rows(cur_u8, Bp), sub)
+            for r, s in enumerate(slots):
+                s.s1_mem_feats = mem_feats[r]
+            dp = np.asarray(dp_dev)
+        else:
+            mem_feats = self._pad_rows(
+                jnp.stack([s.s1_mem_feats for s in slots]), Bp)
+            key = f"s1Bcached_{(Bp,) + rgb.shape[1:]}_{num_sample_trajs}"
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = self._s1_cached_fn(num_sample_trajs)
+            dp = np.asarray(inner._jit_cache[key](
+                inner.params, latents_p, mem_feats,
+                self._pad_rows(cur_u8, Bp), sub))
+        return self._s1_outputs(dp, B, Bp, num_sample_trajs)
+
+    def _s1_outputs(self, dp: np.ndarray, B: int, Bp: int,
+                    num_sample_trajs: int) -> List[S1Output]:
         P = dp.shape[-2]
         dp = dp.reshape(Bp, num_sample_trajs, P, 3)
         outs = []

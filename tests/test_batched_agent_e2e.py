@@ -67,7 +67,8 @@ class _StubBatchedPolicy:
     def s2_step(self, images, max_new_tokens=128, slot_ids=None):
         return [self.script.s2(i) for i in slot_ids]
 
-    def s1_step_latent(self, rgb, latents, num_sample_trajs=32):
+    def s1_step_latent(self, rgb, latents, num_sample_trajs=32,
+                       slot_ids=None):
         n = rgb.shape[0]
         return [self.script.s1(j) for j in range(n)]
 

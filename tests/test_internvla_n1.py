@@ -198,3 +198,29 @@ def test_device_preprocess_matches_host():
     got = preprocess_images_device(jnp.asarray(imgs), cfg, mean, std)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6, rtol=1e-6)
     assert grid.tolist() == [[1, 4, 4]] * 3
+
+
+def test_cfg_fast_path_matches_explicit_combine():
+    """guidance_scale=1.0 (the reference's only used value,
+    internvla_n1.py:355) takes a conditional-only fast path; it must equal
+    the explicit u + s*(c - u) CFG combine up to float epsilon."""
+    cfg = InternVLAN1Config.tiny("nextdit_async")
+    model = InternVLAN1Model(cfg)
+    params = InternVLAN1Policy._init_params(model, cfg, jax.random.PRNGKey(0),
+                                            56)
+    rs = np.random.RandomState(3)
+    lat = jnp.asarray(rs.randn(1, cfg.n_query, cfg.text.hidden_size),
+                      jnp.float32)
+    imgs = jnp.asarray(rs.rand(1, 2, 56, 56, 3), jnp.float32)
+
+    def run(scale):
+        return model.apply(
+            {"params": params}, lat, imgs, rng=jax.random.PRNGKey(2),
+            guidance_scale=scale, num_sample_trajs=2,
+            method=model.generate_traj_nextdit)
+
+    fast = np.asarray(run(1.0))
+    # nextafter(1.0) forces the explicit two-branch combine with a scale
+    # that is numerically 1.0 for all practical purposes
+    explicit = np.asarray(run(float(np.nextafter(1.0, 2.0))))
+    np.testing.assert_allclose(fast, explicit, rtol=2e-4, atol=2e-4)

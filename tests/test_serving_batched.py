@@ -113,3 +113,49 @@ def test_slot_reset_regroups(built):
     # slot 0 has 2 frames of history context, slot 1 has 1
     assert batched.slots[0].episode_idx == 2
     assert batched.slots[1].episode_idx == 1
+
+
+def test_s1_cached_memory_path_matches_legacy_pairs(built):
+    """The current-frames-only S1 path (device-cached memory frame +
+    cached DINOv2 features) must match the legacy [memory, current] pixel
+    path: feature caching is a transfer optimization, not a semantics
+    change. Covers both the first call (full: memory encoded, features
+    stored) and the second call (cached features reused). Uses an ASYNC
+    tiny config — only nextdit_async consumes the frames."""
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Config,
+    )
+
+    cfg = InternVLAN1Config.tiny("nextdit_async")
+    single = InternVLAN1Policy.build(cfg, image_hw=IMG_HW)
+    pol = BatchedN1Policy(single.model, single.params, cfg, batch_size=2,
+                          tokenizer=single.tokenizer)
+    latents = jnp.asarray(
+        0.1 * np.random.RandomState(5).randn(
+            2, cfg.n_query, cfg.text.hidden_size), jnp.float32)
+    mem = np.stack(_frames(21, 2))       # (2, H, W, 3) memory frames
+    cur1 = np.stack(_frames(22, 2))      # current frames, call 1
+    cur2 = np.stack(_frames(23, 2))      # current frames, call 2
+
+    # legacy explicit-pairs reference
+    pol._rng = jax.random.PRNGKey(7)
+    ref1 = pol.s1_step_latent(np.stack([mem, cur1], axis=1), latents,
+                              num_sample_trajs=4)
+    ref2 = pol.s1_step_latent(np.stack([mem, cur2], axis=1), latents,
+                              num_sample_trajs=4)
+
+    # cached path: memory frame device-cached, features computed once
+    for i, s in enumerate(pol.slots):
+        s.s1_mem_frame = jnp.asarray(mem[i])
+        s.s1_mem_feats = None
+    pol._rng = jax.random.PRNGKey(7)
+    got1 = pol.s1_step_latent(cur1, latents, num_sample_trajs=4)
+    assert all(s.s1_mem_feats is not None for s in pol.slots)
+    got2 = pol.s1_step_latent(cur2, latents, num_sample_trajs=4)
+
+    for ref, got in ((ref1, got1), (ref2, got2)):
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(g.trajectory, np.float32),
+                np.asarray(r.trajectory, np.float32), atol=1e-4, rtol=1e-4)
+            assert g.idx == r.idx
