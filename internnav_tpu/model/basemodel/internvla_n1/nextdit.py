@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from internnav_tpu.ops.flash_attention import flash_attention
+
 
 @dataclasses.dataclass(frozen=True)
 class NextDiTConfig:
@@ -114,12 +116,20 @@ class GQAAttention(nn.Module):
         if KV != H:
             k = jnp.repeat(k, H // KV, axis=2)
             v = jnp.repeat(v, H // KV, axis=2)
-        scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
-                            k.astype(jnp.float32)) / np.sqrt(D)
+        # Batched attention over thousands of short (24-36 token) rows.
+        # bf16 matmul inputs with fp32 accumulation — the MXU's native
+        # mode and what torch bf16 SDPA does; softmax stays fp32.
+        # (A packed-sequence flash-kernel variant was tried and REVERTED:
+        # without masked-tile skipping the packed form computes the full
+        # (B*T)x(B*S) score matrix — quadratic in rows — and benched 3x
+        # slower than this batched einsum at serving shapes.)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(D)
         if kv_mask is not None:
             scores = jnp.where(kv_mask[:, None, None, :], scores, -1e9)
         probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
+        out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
         return out.astype(x.dtype)  # (B, T, H, D)
 
 

@@ -307,28 +307,26 @@ class InternVLAN1Policy:
                 extra_cache_slots=n_q,
             )
             B, T = input_ids.shape
-            # traj latents via n_q cached decode steps over the generation's
-            # KV cache — mathematically identical to the reference's full
-            # re-prefill of [prompt, generated, traj] (internvla_n1.py:
-            # 320-347, which also re-runs the vision tower), at the cost of
-            # n_q decode steps instead of a second full-sequence prefill.
-            # Query i sits at real position prompt_len + lengths + i; its
-            # K/V write overwrites the stale eos-pad slot at that index.
+            # traj latents via ONE chunked decode of all n_q queries over
+            # the generation's KV cache — mathematically identical to the
+            # reference's full re-prefill of [prompt, generated, traj]
+            # (internvla_n1.py:320-347, which also re-runs the vision
+            # tower). The queries are fixed embeddings with no sequential
+            # data dependence, so the chunk's stepwise-causal attention
+            # equals n_q sequential decode steps while streaming the 7.6 GB
+            # decoder weights from HBM once instead of n_q times. Query i
+            # sits at real position prompt_len + lengths + i; its K/V write
+            # overwrites the stale eos-pad slot at that index.
             q_embeds = model.apply({"params": params}, method=model.traj_queries)
-            hiddens = []
-            for i in range(n_q):
-                pos1 = (prompt_len + rope_deltas + lengths + i)[None, :]
-                pos = jnp.broadcast_to(pos1[..., None], (3, B, 1))
-                e_i = jnp.broadcast_to(
-                    q_embeds[:, i:i + 1], (B, 1, q_embeds.shape[-1])
-                ).astype(embeds.dtype)
-                _, h, caches = text_model.apply(
-                    {"params": params["language_model"]}, e_i, pos, caches,
-                    prompt_len + lengths + i, compute_logits=False,
-                    method=text_model.decode_step,
-                )
-                hiddens.append(h)
-            latents = jnp.stack(hiddens, axis=1)  # (B, n_q, D)
+            pos1 = (prompt_len + rope_deltas + lengths)[None, :, None] \
+                + jnp.arange(n_q)[None, None, :]
+            pos = jnp.broadcast_to(pos1, (3, B, n_q)).astype(jnp.int32)
+            e = jnp.broadcast_to(
+                q_embeds, (B, n_q, q_embeds.shape[-1])).astype(embeds.dtype)
+            latents, caches = text_model.apply(
+                {"params": params["language_model"]}, e, pos, caches,
+                prompt_len + lengths, method=text_model.decode_chunk,
+            )
             return tokens, lengths, latents
 
         return jax.jit(fn)

@@ -178,7 +178,7 @@ class QwenAttention(nn.Module):
                                   segment_ids=segment_ids)
             out = out.transpose(0, 2, 1, 3).reshape(B, T, H * D)
             new_cache = (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))  # (B,T,KV,D)
-        else:
+        elif x.shape[1] == 1:
             # decode: x is (B, 1, D)
             k_cache, v_cache = kv_cache
             q = q.reshape(B, 1, H, D).transpose(0, 2, 1, 3)
@@ -197,8 +197,42 @@ class QwenAttention(nn.Module):
             )
             out = out.reshape(B, 1, H * D)
             new_cache = (k_cache, v_cache)
+        else:
+            # chunked decode: x is (B, n, D) — n new tokens written at
+            # cache_len..cache_len+n-1, each attending stepwise-causally.
+            # One cache stream (and one weight read in the caller's layer
+            # stack) instead of n.
+            from internnav_tpu.ops.flash_attention import (
+                gqa_chunk_decode_attention,
+            )
+
+            k_cache, v_cache = kv_cache
+            n = x.shape[1]
+            q = q.reshape(B, n, H, D).transpose(0, 2, 1, 3)
+            k = k.reshape(B, n, KV, D).transpose(0, 2, 1, 3)
+            q, k = apply_rotary(q, k, cos, sin)
+            k_cache = _write_cache_chunk(k_cache, k.transpose(0, 2, 1, 3),
+                                         cache_len)
+            v_cache = _write_cache_chunk(v_cache, v.reshape(B, n, KV, D),
+                                         cache_len)
+            out = gqa_chunk_decode_attention(
+                q, k_cache.transpose(0, 2, 1, 3),
+                v_cache.transpose(0, 2, 1, 3), cache_len,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, n, H * D)
+            new_cache = (k_cache, v_cache)
         out = _proj(c, c.hidden_size, False, "o_proj")(out)
         return out, new_cache
+
+
+def _write_cache_chunk(cache, new_kv, pos):
+    """cache (B, Tmax, KV, D); new_kv (B, n, KV, D) written contiguously at
+    per-row start positions pos (B,)."""
+
+    def one(c, kv, p):
+        return jax.lax.dynamic_update_slice(c, kv.astype(c.dtype), (p, 0, 0))
+
+    return jax.vmap(one)(cache, new_kv, pos)
 
 
 def _write_cache(cache, new_kv, pos):
@@ -321,6 +355,23 @@ class QwenTextModel(nn.Module):
         hidden = self.norm(x)
         logits = self._logits(hidden)[:, 0] if compute_logits else None
         return logits, hidden[:, 0], new_caches
+
+    def decode_chunk(self, token_embeds, position_ids, caches, cache_len):
+        """Cached decode of a CHUNK of n tokens whose inputs carry no
+        sequential data dependence (fixed embeddings, e.g. the traj-latent
+        queries): token_embeds (B, n, D); position_ids (3, B, n) or (B, n);
+        cache_len (B,) write-start positions. Equal to n `decode_step`
+        calls (stepwise-causal attention) but streams the decoder weights
+        and KV cache from HBM once instead of n times. Returns
+        (hidden (B, n, D), new caches) — no logits (latent queries never
+        need the lm_head)."""
+        cos, sin = self._cos_sin(position_ids)
+        x = token_embeds
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x, c2 = layer(x, cos, sin, kv_cache=cache, cache_len=cache_len)
+            new_caches.append(c2)
+        return self.norm(x), new_caches
 
 
 def pad_caches(caches, max_len: int):

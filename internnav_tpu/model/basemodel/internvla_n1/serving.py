@@ -81,8 +81,13 @@ class BatchedN1Policy:
     """B-slot batched InternVLA-N1 dual-system policy (see module doc)."""
 
     def __init__(self, model, params, cfg, batch_size: int,
-                 tokenizer=None) -> None:
-        self.inner = InternVLAN1Policy(model, params, cfg, tokenizer=tokenizer)
+                 tokenizer=None, inner: Optional[InternVLAN1Policy] = None
+                 ) -> None:
+        # `inner` lets multiple cohorts share one policy (params + jit
+        # caches): a second cohort then costs zero compiles and zero extra
+        # HBM (PipelinedN1Server)
+        self.inner = inner if inner is not None else InternVLAN1Policy(
+            model, params, cfg, tokenizer=tokenizer)
         self.cfg = cfg
         self.batch_size = batch_size
         self.slots = [_Slot() for _ in range(batch_size)]
@@ -159,15 +164,13 @@ class BatchedN1Policy:
             b *= 2
         return b
 
-    def s2_step(self, images: np.ndarray, max_new_tokens: int = 128,
-                slot_ids: Optional[List[int]] = None) -> List[S2Output]:
-        """One S2 macro-step. images: (N, H, W, 3) uint8, one new frame per
-        stepped slot; `slot_ids` selects which slots step (default: all).
-        Returns S2Outputs aligned with `slot_ids`. Compute rows within each
-        history-length group are padded to a power-of-two bucket so the jit
-        cache stays O(log B) entries per group instead of one per subset
-        size (padded rows duplicate the group's first row; their outputs
-        are discarded)."""
+    def s2_submit(self, images: np.ndarray, max_new_tokens: int = 128,
+                  slot_ids: Optional[List[int]] = None) -> Dict[str, Any]:
+        """Host-prep + async dispatch of one S2 macro-step; returns a
+        handle for `s2_collect`. jax dispatch is asynchronous (<1 ms), so
+        a scheduler can submit another cohort's work — or step simulators —
+        while this cohort's fused program runs on device
+        (PipelinedN1Server)."""
         inner = self.inner
         cfg = self.cfg
         if slot_ids is None:
@@ -195,7 +198,7 @@ class BatchedN1Policy:
         for i in slot_ids:
             groups.setdefault(len(frame_keys[i]), []).append(i)
 
-        by_slot: Dict[int, S2Output] = {}
+        pending = []
         for n_images, rows in sorted(groups.items()):
             ids_rows, pos_rows, deltas, tok_rows = [], [], [], []
             for i in rows:
@@ -250,6 +253,17 @@ class BatchedN1Policy:
                 jnp.asarray(np.asarray(deltas, np.int32)),
                 jnp.asarray(prompt_len), jnp.asarray(prompt_seg),
             )
+            pending.append((rows, tokens, lengths, latents))
+        return {"pending": pending, "dev_imgs": dev_imgs,
+                "current_row": current_row, "slot_ids": slot_ids}
+
+    def s2_collect(self, handle: Dict[str, Any]) -> List[S2Output]:
+        """Fetch + parse the results of an `s2_submit` (blocks on device)."""
+        inner = self.inner
+        dev_imgs = handle["dev_imgs"]
+        current_row = handle["current_row"]
+        by_slot: Dict[int, S2Output] = {}
+        for rows, tokens, lengths, latents in handle["pending"]:
             tokens_h = np.asarray(jax.device_get(tokens))
             lengths_h = np.asarray(jax.device_get(lengths))
             for r, i in enumerate(rows):
@@ -270,7 +284,19 @@ class BatchedN1Policy:
                 else:
                     out.output_action = parse_actions(text)
                 by_slot[i] = out
-        return [by_slot[i] for i in slot_ids]
+        return [by_slot[i] for i in handle["slot_ids"]]
+
+    def s2_step(self, images: np.ndarray, max_new_tokens: int = 128,
+                slot_ids: Optional[List[int]] = None) -> List[S2Output]:
+        """One blocking S2 macro-step. images: (N, H, W, 3) uint8, one new
+        frame per stepped slot; `slot_ids` selects which slots step
+        (default: all). Returns S2Outputs aligned with `slot_ids`. Compute
+        rows within each history-length group are padded to a power-of-two
+        bucket so the jit cache stays O(log B) entries per group instead of
+        one per subset size (padded rows duplicate the group's first row;
+        their outputs are discarded)."""
+        return self.s2_collect(self.s2_submit(images, max_new_tokens,
+                                              slot_ids))
 
     _S1_MEAN = (0.485, 0.456, 0.406)
     _S1_STD = (0.229, 0.224, 0.225)
@@ -333,10 +359,11 @@ class BatchedN1Policy:
         reps = jnp.repeat(arr[:1], Bp - arr.shape[0], axis=0)
         return jnp.concatenate([jnp.asarray(arr), reps], axis=0)
 
-    def s1_step_latent(self, rgb: np.ndarray, latents,
-                       num_sample_trajs: int = 32,
-                       slot_ids: Optional[List[int]] = None) -> List[S1Output]:
-        """Batched System-1 flow-matching denoise over all rows' samples.
+    def s1_submit(self, rgb: np.ndarray, latents,
+                  num_sample_trajs: int = 32,
+                  slot_ids: Optional[List[int]] = None) -> Dict[str, Any]:
+        """Async dispatch of one batched System-1 denoise; returns a handle
+        for `s1_collect`.
 
         Two input forms:
         - rgb (B, H, W, 3): CURRENT frames only (production path). The
@@ -359,6 +386,7 @@ class BatchedN1Policy:
         latents = jnp.asarray(latents)
         Bp = self._pow2_bucket(B)  # pow-2 compute batch: O(log B) jit cache
         latents_p = self._pad_rows(latents, Bp)
+        handle = {"B": B, "Bp": Bp, "nst": num_sample_trajs}
 
         if rgb.ndim == 5:  # legacy [memory, current] pairs
             rgb_u8 = np.asarray(rgb, np.uint8)
@@ -368,9 +396,9 @@ class BatchedN1Policy:
             key = f"s1B_{rgb_u8.shape}_{num_sample_trajs}"
             if key not in inner._jit_cache:
                 inner._jit_cache[key] = self._s1_legacy_fn(num_sample_trajs)
-            dp = np.asarray(inner._jit_cache[key](
-                inner.params, latents_p, jnp.asarray(rgb_u8), sub))
-            return self._s1_outputs(dp, B, Bp, num_sample_trajs)
+            handle["dp"] = inner._jit_cache[key](
+                inner.params, latents_p, jnp.asarray(rgb_u8), sub)
+            return handle
 
         assert rgb.ndim == 4, f"rgb must be (B,H,W,3) or (B,2,H,W,3), got {rgb.shape}"
         if "async" not in cfg.system1:
@@ -383,8 +411,8 @@ class BatchedN1Policy:
                         method=lambda mdl: mdl.generate_traj_nextdit(
                             lat, None, rng=r,
                             num_sample_trajs=num_sample_trajs)))
-            dp = np.asarray(inner._jit_cache[key](inner.params, latents_p, sub))
-            return self._s1_outputs(dp, B, Bp, num_sample_trajs)
+            handle["dp"] = inner._jit_cache[key](inner.params, latents_p, sub)
+            return handle
         cur_u8 = jnp.asarray(np.asarray(rgb, np.uint8))  # one upload
         slots = [self.slots[i] for i in slot_ids]
         assert all(s.s1_mem_frame is not None for s in slots), (
@@ -402,18 +430,30 @@ class BatchedN1Policy:
                 inner.params, latents_p, mem_u8,
                 self._pad_rows(cur_u8, Bp), sub)
             for r, s in enumerate(slots):
-                s.s1_mem_feats = mem_feats[r]
-            dp = np.asarray(dp_dev)
+                s.s1_mem_feats = mem_feats[r]  # async device slices
+            handle["dp"] = dp_dev
         else:
             mem_feats = self._pad_rows(
                 jnp.stack([s.s1_mem_feats for s in slots]), Bp)
             key = f"s1Bcached_{(Bp,) + rgb.shape[1:]}_{num_sample_trajs}"
             if key not in inner._jit_cache:
                 inner._jit_cache[key] = self._s1_cached_fn(num_sample_trajs)
-            dp = np.asarray(inner._jit_cache[key](
+            handle["dp"] = inner._jit_cache[key](
                 inner.params, latents_p, mem_feats,
-                self._pad_rows(cur_u8, Bp), sub))
-        return self._s1_outputs(dp, B, Bp, num_sample_trajs)
+                self._pad_rows(cur_u8, Bp), sub)
+        return handle
+
+    def s1_collect(self, handle: Dict[str, Any]) -> List[S1Output]:
+        """Fetch + discretize the results of an `s1_submit`."""
+        dp = np.asarray(handle["dp"])
+        return self._s1_outputs(dp, handle["B"], handle["Bp"], handle["nst"])
+
+    def s1_step_latent(self, rgb: np.ndarray, latents,
+                       num_sample_trajs: int = 32,
+                       slot_ids: Optional[List[int]] = None) -> List[S1Output]:
+        """Blocking batched System-1 denoise (see `s1_submit`)."""
+        return self.s1_collect(self.s1_submit(rgb, latents, num_sample_trajs,
+                                              slot_ids))
 
     def _s1_outputs(self, dp: np.ndarray, B: int, Bp: int,
                     num_sample_trajs: int) -> List[S1Output]:
@@ -424,3 +464,94 @@ class BatchedN1Policy:
             action_list = [a for a in traj_to_actions(dp[i]) if a != 0]
             outs.append(S1Output(idx=action_list[:4], trajectory=dp[i]))
         return outs
+
+
+class PipelinedN1Server:
+    """Double-buffered multi-cohort serving, single host thread.
+
+    One blocking cohort leaves the chip idle whenever the host is busy:
+    building prompts, uploading frames over the host link, parsing decoded
+    text, waiting on result fetches. jax dispatch is ASYNCHRONOUS (<1 ms:
+    calls enqueue device work and return futures), so a single-threaded
+    scheduler interleaves cohorts by phase — submit cohort A's program,
+    then do cohort B's host work while A computes, collect A, and so on.
+    The XLA stream executes the cohorts' programs back-to-back and the
+    chip idles only when every cohort is in a host phase. No semantics
+    change: cohorts are disjoint episode sets, and per-stream results are
+    identical to blocking single-cohort serving
+    (tests/test_serving_batched.py).
+
+    Host THREADS were tried for this and rejected: on networked-TPU
+    backends the client serializes dispatches under a lock and the GIL
+    contends the host phases, benching ~2x SLOWER than blocking serving.
+    Phase interleaving on one thread gets the overlap without either lock.
+
+    The reference cannot express any of this: its evaluator binds one
+    episode to one GPU rank and blocks on every transfer
+    (habitat_env.py:72, internvla_n1_agent.py step loop).
+
+    All cohorts share ONE `InternVLAN1Policy` (params + jit caches), so
+    extra cohorts cost no compiles and no HBM beyond their KV caches.
+    """
+
+    def __init__(self, model, params, cfg, batch_size: int, cohorts: int = 2,
+                 tokenizer=None) -> None:
+        self.inner = InternVLAN1Policy(model, params, cfg, tokenizer=tokenizer)
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.cohorts = [
+            BatchedN1Policy(model, params, cfg, batch_size, inner=self.inner)
+            for _ in range(cohorts)
+        ]
+
+    def serve_macro_cycle(
+        self,
+        frames_fn,
+        max_new_tokens: int = 128,
+        num_sample_trajs: int = 32,
+        s1_calls: int = 2,
+        latent_fallback=None,
+    ):
+        """One phase-interleaved macro-cycle over all cohorts.
+
+        frames_fn(cohort_idx, phase) -> (B, H, W, 3) uint8 current frames
+        for that cohort (phase 0 = S2 step, 1.. = S1 micro-steps) — in
+        production this is where simulator observations enter, and the env
+        stepping for one cohort overlaps the other cohorts' device work.
+        latent_fallback(cohort_idx) -> (B, n_q, D) used for slots whose S2
+        emitted no latent (e.g. discrete-action steps).
+        Returns per-cohort (s2_outputs, [s1_outputs per call]).
+        """
+        n = len(self.cohorts)
+        s2h = [None] * n
+        s2out = [None] * n
+        lat = [None] * n
+        s1res: List[List[Any]] = [[] for _ in range(n)]
+
+        for ci, pol in enumerate(self.cohorts):  # device fills with S2 work
+            s2h[ci] = pol.s2_submit(frames_fn(ci, 0), max_new_tokens)
+        s1h = [None] * n
+        for ci, pol in enumerate(self.cohorts):
+            s2out[ci] = pol.s2_collect(s2h[ci])  # blocks; others compute
+            rows = []
+            for o in s2out[ci]:
+                if o.output_latent is not None:
+                    rows.append(o.output_latent)
+                elif latent_fallback is not None:
+                    rows.append(latent_fallback(ci)[o.idx:o.idx + 1])
+                else:
+                    rows.append(jnp.zeros(
+                        (1, self.cfg.n_query, self.cfg.text.hidden_size),
+                        jnp.bfloat16))
+            lat[ci] = jnp.concatenate(rows, axis=0)
+            s1h[ci] = pol.s1_submit(frames_fn(ci, 1), lat[ci],
+                                    num_sample_trajs)
+        for call in range(1, s1_calls + 1):
+            nxt = [None] * n
+            for ci, pol in enumerate(self.cohorts):
+                s1res[ci].append(pol.s1_collect(s1h[ci]))
+                if call < s1_calls:
+                    nxt[ci] = pol.s1_submit(frames_fn(ci, call + 1), lat[ci],
+                                            num_sample_trajs)
+            s1h = nxt
+        return [(s2out[ci], s1res[ci]) for ci in range(n)]

@@ -573,6 +573,40 @@ def gqa_decode_attention(
     return out.reshape(B, H, D).astype(q.dtype)
 
 
+def gqa_chunk_decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    cache_len: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Decode attention for a CHUNK of n new tokens in one cache pass.
+
+    q: (B, H, n, D); caches: (B, KV, Tmax, D) with the chunk's K/V already
+    written at positions cache_len..cache_len+n-1. Query i attends to cache
+    positions < cache_len + i + 1 (stepwise-causal), so the result is
+    bit-comparable to n sequential `gqa_decode_attention` steps — but the
+    KV cache streams from HBM once instead of n times. Used for the n_query
+    traj-latent queries whose inputs are fixed embeddings (no sequential
+    data dependence), replacing n full decoder weight reads with one.
+    """
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    B, H, n, D = q.shape
+    KV, Tmax = k_cache.shape[1], k_cache.shape[2]
+    G = H // KV
+    qg = q.reshape(B, KV, G, n, D).astype(jnp.float32)
+    s = jnp.einsum("bkgnd,bktd->bkgnt", qg,
+                   k_cache.astype(jnp.float32)) * sm_scale
+    limit = cache_len.reshape(-1, 1) + 1 + jnp.arange(n)[None]  # (B, n)
+    mask = jnp.arange(Tmax)[None, None, :] < limit[:, :, None]  # (B, n, Tmax)
+    s = jnp.where(mask[:, None, None], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bkgnt,bktd->bkgnd", p, v_cache.astype(jnp.float32))
+    return out.reshape(B, H, n, D).astype(q.dtype)
+
+
 def segment_ids_from_cu_seqlens(cu_seqlens, total_len: int) -> jnp.ndarray:
     """cu_seqlens (reference packing format, qwenvl_base.py:85-97) → per-token
     segment ids of shape (total_len,). cu_seqlens = [0, l0, l0+l1, ...]."""

@@ -224,3 +224,43 @@ def test_cfg_fast_path_matches_explicit_combine():
     # that is numerically 1.0 for all practical purposes
     explicit = np.asarray(run(float(np.nextafter(1.0, 2.0))))
     np.testing.assert_allclose(fast, explicit, rtol=2e-4, atol=2e-4)
+
+
+def test_decode_chunk_matches_sequential_steps(text_model):
+    """decode_chunk over n fixed embeddings == n sequential decode_steps
+    (stepwise-causal chunk attention + contiguous cache writes)."""
+    cfg, model, params, ids, pos = text_model
+    B, T = ids.shape
+    n = 3
+    embeds = model.apply({"params": params}, jnp.asarray(ids),
+                         method=model.embed)
+    _, _, caches = model.apply({"params": params}, embeds, pos,
+                               return_cache=True)
+    caches = pad_caches(caches, T + n)
+    q = jnp.asarray(np.random.RandomState(1).randn(
+        1, n, cfg.hidden_size) * 0.05, embeds.dtype)
+    q = jnp.broadcast_to(q, (B, n, cfg.hidden_size))
+    start = jnp.full((B,), T, jnp.int32)
+
+    # sequential reference
+    seq_caches = caches
+    hs = []
+    for i in range(n):
+        p = jnp.broadcast_to((start + i)[None, :, None], (3, B, 1))
+        _, h, seq_caches = model.apply(
+            {"params": params}, q[:, i:i + 1], p, seq_caches, start + i,
+            compute_logits=False, method=model.decode_step)
+        hs.append(h)
+    want = jnp.stack(hs, axis=1)
+
+    pos_c = jnp.broadcast_to(start[None, :, None] + jnp.arange(n)[None, None],
+                             (3, B, n)).astype(jnp.int32)
+    got, chunk_caches = model.apply({"params": params}, q, pos_c, caches,
+                                    start, method=model.decode_chunk)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    for (kc, vc), (ks, vs) in zip(chunk_caches, seq_caches):
+        np.testing.assert_allclose(np.asarray(kc, np.float32),
+                                   np.asarray(ks, np.float32), atol=2e-2,
+                                   rtol=2e-2)

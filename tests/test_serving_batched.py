@@ -159,3 +159,47 @@ def test_s1_cached_memory_path_matches_legacy_pairs(built):
                 np.asarray(g.trajectory, np.float32),
                 np.asarray(r.trajectory, np.float32), atol=1e-4, rtol=1e-4)
             assert g.idx == r.idx
+
+
+def test_pipelined_cohorts_match_sequential(built):
+    """PipelinedN1Server's phase-interleaved macro-cycle must produce the
+    same per-slot decodes and S1 actions as running the same cohorts
+    sequentially (blocking) — pipelining is a scheduling change only."""
+    from internnav_tpu.model.basemodel.internvla_n1.serving import (
+        PipelinedN1Server,
+    )
+
+    cfg, single, _ = built
+    f = _frames(11, 4)
+
+    def cohort_frames(ci):
+        return np.stack([f[2 * ci], f[2 * ci + 1]])
+
+    # sequential blocking reference (two independent cohorts)
+    seq_text, seq_idx = {}, {}
+    for ci in range(2):
+        pol = BatchedN1Policy(single.model, single.params, cfg, 2,
+                              tokenizer=single.tokenizer)
+        pol._rng = jax.random.PRNGKey(100 + ci)
+        pol.reset(INSTR)
+        outs = pol.s2_step(cohort_frames(ci), max_new_tokens=4)
+        lat = jnp.concatenate([
+            o.output_latent if o.output_latent is not None
+            else jnp.zeros((1, cfg.n_query, cfg.text.hidden_size))
+            for o in outs], axis=0)
+        s1 = pol.s1_step_latent(cohort_frames(ci), lat, num_sample_trajs=4)
+        seq_text[ci] = [s.llm_output for s in pol.slots]
+        seq_idx[ci] = [o.idx for o in s1]
+
+    server = PipelinedN1Server(single.model, single.params, cfg,
+                               batch_size=2, cohorts=2,
+                               tokenizer=single.tokenizer)
+    for ci, pol in enumerate(server.cohorts):
+        pol._rng = jax.random.PRNGKey(100 + ci)
+        pol.reset(INSTR)
+    res = server.serve_macro_cycle(lambda ci, phase: cohort_frames(ci),
+                                   max_new_tokens=4, num_sample_trajs=4,
+                                   s1_calls=1)
+    for ci, pol in enumerate(server.cohorts):
+        assert [s.llm_output for s in pol.slots] == seq_text[ci]
+        assert [o.idx for o in res[ci][1][0]] == seq_idx[ci]
