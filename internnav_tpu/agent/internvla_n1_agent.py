@@ -318,7 +318,13 @@ class BatchedInternVLAN1Agent(Agent):
         st.steps_since_s2 = 0
 
     # ------------------------------------------------------------------ api
-    def step(self, obs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    def step_coroutine(self, obs: List[Dict[str, Any]]):
+        """Generator form of `step`: yields after each async device submit
+        (jax dispatch returns immediately), letting a scheduler interleave
+        another cohort's host/device work — or simulator stepping — while
+        this cohort's program runs on the accelerator. Drive with
+        `next()` until StopIteration; the StopIteration value is the step
+        result. `step()` below runs it to completion (blocking)."""
         assert len(obs) == self.batch_size, (
             f"expected {self.batch_size} slots, got {len(obs)}")
         for i, o in enumerate(obs):
@@ -334,8 +340,11 @@ class BatchedInternVLAN1Agent(Agent):
                   if self._should_infer_s2(st)]
         if s2_ids:
             imgs = np.stack([np.asarray(obs[i]["rgb"]) for i in s2_ids])
-            outs = self.policy.s2_step(imgs, max_new_tokens=self.max_new_tokens,
-                                       slot_ids=s2_ids)
+            handle = self.policy.s2_submit(imgs,
+                                           max_new_tokens=self.max_new_tokens,
+                                           slot_ids=s2_ids)
+            yield  # device busy: S2 prefill+decode in flight
+            outs = self.policy.s2_collect(handle)
             for i, out in zip(s2_ids, outs):
                 self._consume_s2(self.states[i], out,
                                  np.asarray(obs[i]["rgb"]))
@@ -351,9 +360,11 @@ class BatchedInternVLAN1Agent(Agent):
             cur = np.stack([np.asarray(obs[i]["rgb"]) for i in s1_ids])
             lat = jnp.concatenate(
                 [jnp.asarray(self.states[i].latent) for i in s1_ids], axis=0)
-            s1_outs = self.policy.s1_step_latent(
+            h1 = self.policy.s1_submit(
                 cur, lat, num_sample_trajs=self.num_sample_trajs,
                 slot_ids=s1_ids)
+            yield  # device busy: S1 denoise in flight
+            s1_outs = self.policy.s1_collect(h1)
             for i, s1 in zip(s1_ids, s1_outs):
                 st = self.states[i]
                 st.last_trajectory = s1.trajectory
@@ -369,3 +380,11 @@ class BatchedInternVLAN1Agent(Agent):
                 out["trajectory"] = st.last_trajectory
             result.append(out)
         return result
+
+    def step(self, obs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        gen = self.step_coroutine(obs)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                return stop.value

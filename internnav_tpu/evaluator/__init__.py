@@ -8,3 +8,8 @@ __all__.append("VNPointGoalEvaluator")
 from internnav_tpu.evaluator.vln_pe_evaluator import VLNPEEvaluator  # noqa: E402
 
 __all__.append("VLNPEEvaluator")
+from internnav_tpu.evaluator.vln_pipelined_evaluator import (  # noqa: E402
+    VLNPipelinedEvaluator,
+)
+
+__all__.append("VLNPipelinedEvaluator")

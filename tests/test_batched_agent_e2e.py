@@ -151,3 +151,38 @@ def test_batched_agent_e2e_eval(tmp_path):
     metrics = ev.eval()
     assert metrics["num_episodes"] == 3
     assert (tmp_path / "eval_out" / "result.json").exists()
+
+
+def test_pipelined_evaluator_completes_all_episodes(tmp_path):
+    """VLNPipelinedEvaluator (2 cohorts, round-robin coroutine scheduler)
+    must evaluate every episode and produce the same aggregate metric KEYS
+    as the blocking batched evaluator."""
+    from internnav_tpu.configs import (
+        AgentCfg, EnvCfg, EvalCfg, EvalDatasetCfg, TaskCfg,
+    )
+    from internnav_tpu.evaluator import Evaluator
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Config,
+    )
+    from tests.test_eval_e2e import make_episodes
+
+    cfg = EvalCfg(
+        agent=AgentCfg(model_name="internvla_n1_batched",
+                       model_settings={"batch_size": 2, "max_new_tokens": 4,
+                                       "num_sample_trajs": 2,
+                                       "config": InternVLAN1Config.tiny(
+                                           "nextdit_async")}),
+        env=EnvCfg(env_type="fake", env_num=2,
+                   env_settings={"rgb_resolution": [56, 56],
+                                 "depth_resolution": [56, 56],
+                                 "cohorts": 2}),
+        task=TaskCfg(max_step=3),
+        dataset=EvalDatasetCfg(),
+        eval_type="vln_pipelined",
+        output_dir=str(tmp_path / "pipe"),
+    )
+    ev = Evaluator.init(cfg, episodes=make_episodes(5))
+    metrics = ev.eval()
+    assert metrics["num_episodes"] == 5.0, metrics
+    for k in ("success", "spl", "osr", "NE", "ndtw"):
+        assert k in metrics
