@@ -18,6 +18,7 @@ works; `SimpleTokenizer` is the dependency-free fallback used by tests
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -81,7 +82,11 @@ class SimpleTokenizer:
                 out.append(self.SPECIALS[piece])
             else:
                 for w in piece.split():
-                    out.append(self._cache.setdefault(w, (hash(w) % (self.vocab_size - 10)) + 3))
+                    # crc32, not hash(): python's str hash is randomized
+                    # per process (PYTHONHASHSEED), which made test prompts
+                    # nondeterministic across runs
+                    out.append(self._cache.setdefault(
+                        w, (zlib.crc32(w.encode()) % (self.vocab_size - 10)) + 3))
         return out
 
     def decode(self, ids) -> str:

@@ -140,13 +140,18 @@ class RMSNorm(nn.Module):
 
 
 def apply_rotary(q, k, cos, sin):
-    """q/k: (B, H, T, D); cos/sin: (B, T, D)."""
-    cos = cos[:, None].astype(jnp.float32)
-    sin = sin[:, None].astype(jnp.float32)
-    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-    q_out = qf * cos + rotate_half(qf) * sin
-    k_out = kf * cos + rotate_half(kf) * sin
-    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+    """q/k: (B, H, T, D); cos/sin: (B, T, D).
+
+    Math runs in the q/k dtype, exactly like HF's apply_rotary_pos_emb
+    (cos = cos.to(q.dtype) before the multiply). An earlier fp32 version
+    materialized fp32 copies of q/k per layer — ~400 MB each at the
+    (16, 28, 704, 128) prefill shape — and its negate/copy fusions were
+    ~10% of the whole fused-S2 device profile."""
+    cos = cos[:, None].astype(q.dtype)
+    sin = sin[:, None].astype(q.dtype)
+    q_out = q * cos + rotate_half(q) * sin
+    k_out = k * cos + rotate_half(k) * sin
+    return q_out, k_out.astype(k.dtype)
 
 
 class QwenAttention(nn.Module):

@@ -555,3 +555,66 @@ class PipelinedN1Server:
                                             num_sample_trajs)
             s1h = nxt
         return [(s2out[ci], s1res[ci]) for ci in range(n)]
+
+    def serve_stream(self, frames_fn, n_cycles: int,
+                     max_new_tokens: int = 128, num_sample_trajs: int = 32,
+                     s1_calls: int = 2, on_cycle=None):
+        """Continuous pipelined serving for n_cycles macro-cycles.
+
+        Unlike `serve_macro_cycle`, cycle boundaries are pipelined too: as
+        soon as a cohort's last S1 of cycle t is collected, its cycle t+1
+        S2 is submitted — the device queue never drains, so steady-state
+        wall time approaches the pure device time of the work.
+        frames_fn(cohort_idx, cycle_idx, phase) -> (B, H, W, 3) frames;
+        on_cycle(cohort_idx, cycle_idx, s2_outputs, s1_results) is called
+        as each cohort finishes a cycle (bookkeeping hook).
+        """
+        n = len(self.cohorts)
+        s2h = [None] * n
+        lat = [None] * n
+        s2out = [None] * n
+        s1res: List[List[Any]] = [[] for _ in range(n)]
+
+        def submit_s2(ci, t):
+            s2h[ci] = self.cohorts[ci].s2_submit(frames_fn(ci, t, 0),
+                                                 max_new_tokens)
+
+        def latents_of(ci):
+            rows = []
+            for o in s2out[ci]:
+                if o.output_latent is not None:
+                    rows.append(o.output_latent)
+                else:
+                    rows.append(jnp.zeros(
+                        (1, self.cfg.n_query, self.cfg.text.hidden_size),
+                        jnp.bfloat16))
+            return jnp.concatenate(rows, axis=0)
+
+        for ci in range(n):
+            submit_s2(ci, 0)
+        for t in range(n_cycles):
+            s1h = [None] * n
+            for ci, pol in enumerate(self.cohorts):
+                s2out[ci] = pol.s2_collect(s2h[ci])
+                lat[ci] = latents_of(ci)
+                s1res[ci] = []
+                s1h[ci] = pol.s1_submit(frames_fn(ci, t, 1), lat[ci],
+                                        num_sample_trajs)
+            for call in range(1, s1_calls + 1):
+                nxt = [None] * n
+                for ci, pol in enumerate(self.cohorts):
+                    s1res[ci].append(pol.s1_collect(s1h[ci]))
+                    if call < s1_calls:
+                        nxt[ci] = pol.s1_submit(frames_fn(ci, t, call + 1),
+                                                lat[ci], num_sample_trajs)
+                    else:
+                        # cycle boundary pipelined: next cycle's S2 goes
+                        # into the device queue before other cohorts'
+                        # current-cycle collects
+                        if t + 1 < n_cycles:
+                            if on_cycle is not None:
+                                on_cycle(ci, t, s2out[ci], s1res[ci])
+                            submit_s2(ci, t + 1)
+                        elif on_cycle is not None:
+                            on_cycle(ci, t, s2out[ci], s1res[ci])
+                s1h = nxt
