@@ -484,16 +484,16 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="single-stream bf16 parity config (3-point layer "
                          "fit; the model does not fit resident in bf16)")
-    ap.add_argument("--batch", type=int, default=8,
-                    help="batched multi-episode serving batch size (int8 "
-                         "resident full model). The DEFAULT mode: the "
-                         "framework's batched evaluator really serves B "
-                         "episode streams per chip")
-    ap.add_argument("--pipelined", action="store_true",
-                    help="phase-interleaved multi-cohort serving "
-                         "(PipelinedN1Server)")
-    ap.add_argument("--cohorts", type=int, default=2,
-                    help="number of phase-interleaved cohorts")
+    ap.add_argument("--batch", type=int, default=16,
+                    help="episode streams per cohort (int8 resident full "
+                         "model)")
+    ap.add_argument("--blocking", action="store_true",
+                    help="single blocking cohort (no phase interleaving)")
+    ap.add_argument("--cohorts", type=int, default=3,
+                    help="number of phase-interleaved cohorts. The DEFAULT "
+                         "mode is pipelined multi-cohort serving — the "
+                         "framework's vln_pipelined evaluator really "
+                         "serves cohorts x batch episode streams per chip")
     args = ap.parse_args()
 
     import jax
@@ -509,10 +509,10 @@ def main() -> None:
         result = bench_int8()
     elif args.bf16:
         result = bench_full()
-    elif args.pipelined:
-        result = bench_pipelined(args.batch, args.cohorts)
-    else:
+    elif args.blocking:
         result = bench_batched(args.batch)
+    else:
+        result = bench_pipelined(args.batch, args.cohorts)
     print(json.dumps(result))
 
 
