@@ -75,12 +75,16 @@ class InternVLAN1Config:
 
 class MemoryEncoder(nn.Module):
     """3-layer post-norm transformer over 384-d image features
-    (internvla_n1_arch.py:76-95)."""
+    (internvla_n1_arch.py:76-95). The reference builds torch
+    TransformerEncoderLayer with DEFAULTS: dim_feedforward=2048,
+    activation=relu, norm_first=False, max_len=512 — all of which this
+    module matches for checkpoint-conversion parity."""
 
     hidden_size: int = 384
     num_heads: int = 6
     num_layers: int = 3
-    max_len: int = 4096
+    max_len: int = 512
+    dim_feedforward: int = 2048
 
     @nn.compact
     def __call__(self, memory, memory_mask=None):
@@ -89,23 +93,29 @@ class MemoryEncoder(nn.Module):
         x = memory + pos[None, : memory.shape[1]]
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(self.hidden_size, self.num_heads,
-                                        norm_first=False, name=f"layer_{i}")(
+                                        dim_feedforward=self.dim_feedforward,
+                                        norm_first=False, activation="relu",
+                                        name=f"layer_{i}")(
                 x, key_padding_mask=memory_mask)
         return x
 
 
 class QFormer(nn.Module):
     """num_query learned queries cross-attending visual features
-    (internvla_n1_arch.py:97-118)."""
+    (internvla_n1_arch.py:97-118). The reference's torch
+    TransformerDecoder uses DEFAULTS — POST-norm, relu, ff 2048 — matched
+    here via the post-norm FormerDecoder (its unused `visual_proj` layer
+    is intentionally not reproduced; the reference never calls it)."""
 
     num_query: int = 32
     hidden_size: int = 768
     num_layers: int = 3
     num_heads: int = 12
+    dim_feedforward: int = 2048
 
     @nn.compact
     def __call__(self, visual_feats, visual_mask=None):
-        from internnav_tpu.model.encoder.transformer import TransformerDecoderLayer
+        from internnav_tpu.model.encoder.navdp_backbone import FormerDecoder
 
         B = visual_feats.shape[0]
         q = self.param("query_tokens", nn.initializers.normal(1.0),
@@ -113,11 +123,13 @@ class QFormer(nn.Module):
         qp = self.param("query_pos", nn.initializers.normal(1.0),
                         (self.num_query, self.hidden_size))
         x = jnp.broadcast_to((q + qp)[None], (B, self.num_query, self.hidden_size))
-        for i in range(self.num_layers):
-            x = TransformerDecoderLayer(self.hidden_size, self.num_heads,
-                                        name=f"layer_{i}")(
-                x, visual_feats, memory_key_padding_mask=visual_mask)
-        return x
+        # the reference never passes a visual mask (generate_traj calls the
+        # resampler mask-free, internvla_n1.py:379)
+        assert visual_mask is None, "QFormer visual masking is unused upstream"
+        return FormerDecoder(self.hidden_size, self.num_heads,
+                             self.num_layers,
+                             dim_feedforward=self.dim_feedforward,
+                             name="decoder")(x, visual_feats)
 
 
 class InternVLAN1Model(nn.Module):
@@ -150,7 +162,16 @@ class InternVLAN1Model(nn.Module):
                                                     num_heads=6 if rgb_dim == 384 else 4)
                 self.rgb_resampler = QFormer(hidden_size=self._latent_size,
                                              num_heads=12 if rgb_dim == 384 else 4)
-                self.memory_proj = nn.Dense(self._latent_size)
+                # The reference feeds concat(feats, encoded) — 2*rgb_dim
+                # wide — STRAIGHT into the QFormer (internvla_n1.py:379;
+                # 384+384 == 768 == QFormer width). A projection here would
+                # be an extra layer with no checkpoint counterpart, so it
+                # exists ONLY for tiny test configs whose dims don't line
+                # up (2*32 != 48).
+                if 2 * rgb_dim != self._latent_size:
+                    self.memory_proj = nn.Dense(self._latent_size)
+                else:
+                    self.memory_proj = lambda x: x
         elif "navdp" in c.system1:
             if c.text.hidden_size > 512:
                 self.navdp = NavDPHead(memory_size=2, vlm_token_dim=c.text.hidden_size)

@@ -82,7 +82,7 @@ class TimeCaptionEmbed(nn.Module):
         t = nn.Dense(self.hidden, name="time_fc2")(t)
         m = caption_mask.astype(jnp.float32)[..., None]
         pooled = (captions * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1e-6)
-        c = nn.LayerNorm(name="cap_ln")(pooled)
+        c = nn.LayerNorm(epsilon=1e-5, name="cap_ln")(pooled)
         c = nn.Dense(self.hidden, name="cap_fc")(c)
         return t + c
 
@@ -111,8 +111,8 @@ class GQAAttention(nn.Module):
         k = k.reshape(B, S, KV, D)
         v = v.reshape(B, S, KV, D)
         if self.qk_norm:
-            q = nn.LayerNorm(name="norm_q")(q.reshape(B, T, H * D)).reshape(B, T, H, D)
-            k = nn.LayerNorm(name="norm_k")(k.reshape(B, S, KV * D)).reshape(B, S, KV, D)
+            q = nn.LayerNorm(epsilon=1e-5, name="norm_q")(q.reshape(B, T, H * D)).reshape(B, T, H, D)
+            k = nn.LayerNorm(epsilon=1e-5, name="norm_k")(k.reshape(B, S, KV * D)).reshape(B, S, KV, D)
         if KV != H:
             k = jnp.repeat(k, H // KV, axis=2)
             v = jnp.repeat(v, H // KV, axis=2)
@@ -200,8 +200,11 @@ class NextDiT(nn.Module):
         temb = temb.astype(c.dtype)
         for i in range(c.n_layers):
             x = NextDiTBlock(c, name=f"layers_{i}")(x, cond, latents_mask, temb)
-        # LuminaLayerNormContinuous out
+        # LuminaLayerNormContinuous out: scale-conditioned LayerNorm + an
+        # output Linear (out_dim = in_channels; nextdit_traj.py:283-290
+        # sets out_dim=patch_size^2*out_channels=384, so diffusers'
+        # LuminaLayerNormContinuous instantiates linear_2)
         scale = nn.Dense(c.dim, name="norm_out_linear")(nn.silu(temb))
         x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                          name="norm_out_ln")(x) * (1 + scale[:, None])
-        return x
+        return nn.Dense(c.dim, name="norm_out_linear2")(x)

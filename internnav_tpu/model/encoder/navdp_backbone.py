@@ -37,6 +37,7 @@ class FormerDecoder(nn.Module):
     heads: int
     layers: int
     norm_first: bool = False
+    dim_feedforward: int = 0  # 0 -> 4*dim (matches torch default 2048 at dim 512)
 
     @nn.compact
     def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None):
@@ -56,7 +57,8 @@ class FormerDecoder(nn.Module):
                     x, memory, memory, None, memory_mask
                 )
                 x = nn.LayerNorm(name=f"layer_{i}_ln2")(x + h)
-                y = nn.Dense(4 * self.dim, name=f"layer_{i}_ff1")(x)
+                y = nn.Dense(self.dim_feedforward or 4 * self.dim,
+                             name=f"layer_{i}_ff1")(x)
                 y = nn.relu(y)
                 y = nn.Dense(self.dim, name=f"layer_{i}_ff2")(y)
                 x = nn.LayerNorm(name=f"layer_{i}_ln3")(x + y)

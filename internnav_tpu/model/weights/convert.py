@@ -743,3 +743,119 @@ def convert_navdp_policy(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     tree["out_pos_embed"] = {
         "embedding": sd["out_pos_embed.position_embedding.weight"]}
     return tree
+
+
+# ---------------------------------------------------- InternVLA-N1 (flagship)
+def convert_nextdit(sd: Dict[str, np.ndarray],
+                    prefix: str = "model.traj_dit.model.") -> Dict[str, Any]:
+    """Reference traj_dit (diffusers LuminaNextDiT2DModel vendored at
+    nextdit_traj.py:181-368, wrapped by NextDiTCrossAttn) → our NextDiT.
+
+    Layer map: caption_projection.linear_1/2 → caption_fc1/2;
+    time_caption_embed.{timestep_embedder.linear_1/2, caption_embedder.0/1}
+    → time_caption_embed.{time_fc1/2, cap_ln, cap_fc}; per block:
+    norm1.{linear,norm} → norm1_linear/norm1_rms, attn1/attn2 to_q/k/v +
+    norm_q/k, the shared mixed-output projection attn2.to_out.0 → to_out,
+    feed_forward.linear_1/2/3, RMSNorms, gate; norm_out.linear_1/2 →
+    norm_out_linear/norm_out_linear2. attn1.to_out is nn.Identity in the
+    reference (nextdit_traj.py:87) — nothing to convert."""
+    p: Dict[str, np.ndarray] = {}
+    t_linear(sd, prefix + "caption_projection.linear_1", "caption_fc1", p)
+    t_linear(sd, prefix + "caption_projection.linear_2", "caption_fc2", p)
+    tce = prefix + "time_caption_embed."
+    t_linear(sd, tce + "timestep_embedder.linear_1",
+             "time_caption_embed/time_fc1", p)
+    t_linear(sd, tce + "timestep_embedder.linear_2",
+             "time_caption_embed/time_fc2", p)
+    t_norm(sd, tce + "caption_embedder.0", "time_caption_embed/cap_ln", p)
+    t_linear(sd, tce + "caption_embedder.1", "time_caption_embed/cap_fc", p)
+    i = 0
+    while f"{prefix}layers.{i}.gate" in sd:
+        src = f"{prefix}layers.{i}."
+        dst = f"layers_{i}"
+        p[f"{dst}/gate"] = sd[src + "gate"]
+        t_linear(sd, src + "norm1.linear", f"{dst}/norm1_linear", p)
+        p[f"{dst}/norm1_rms/scale"] = sd[src + "norm1.norm.weight"]
+        for attn in ("attn1", "attn2"):
+            for proj in ("to_q", "to_k", "to_v"):
+                t_linear(sd, src + f"{attn}.{proj}", f"{dst}/{attn}/{proj}",
+                         p, bias=False)
+            t_norm(sd, src + f"{attn}.norm_q", f"{dst}/{attn}/norm_q", p)
+            t_norm(sd, src + f"{attn}.norm_k", f"{dst}/{attn}/norm_k", p)
+        t_linear(sd, src + "attn2.to_out.0", f"{dst}/to_out", p, bias=False)
+        p[f"{dst}/norm1_context/scale"] = sd[src + "norm1_context.weight"]
+        p[f"{dst}/norm2/scale"] = sd[src + "norm2.weight"]
+        p[f"{dst}/ffn_norm1/scale"] = sd[src + "ffn_norm1.weight"]
+        p[f"{dst}/ffn_norm2/scale"] = sd[src + "ffn_norm2.weight"]
+        for lin in ("linear_1", "linear_2", "linear_3"):
+            t_linear(sd, src + f"feed_forward.{lin}",
+                     f"{dst}/feed_forward/{lin}", p, bias=False)
+        i += 1
+    t_linear(sd, prefix + "norm_out.linear_1", "norm_out_linear", p)
+    t_linear(sd, prefix + "norm_out.linear_2", "norm_out_linear2", p)
+    return unflatten(p)
+
+
+def convert_memory_encoder(sd: Dict[str, np.ndarray],
+                           prefix: str = "model.memory_encoder.") -> Dict[str, Any]:
+    """Reference MemoryEncoder (torch TransformerEncoder, post-norm,
+    relu, ff 2048; internvla_n1_arch.py:76-95) → our MemoryEncoder."""
+    p: Dict[str, np.ndarray] = {}
+    p["memory_pos"] = sd[prefix + "memory_pos"]
+    i = 0
+    while f"{prefix}encoder.layers.{i}.self_attn.in_proj_weight" in sd:
+        src = f"{prefix}encoder.layers.{i}."
+        dst = f"layer_{i}"
+        _torch_mha(sd, src + "self_attn", f"{dst}/self_attn", p)
+        t_linear(sd, src + "linear1", f"{dst}/linear1", p)
+        t_linear(sd, src + "linear2", f"{dst}/linear2", p)
+        t_norm(sd, src + "norm1", f"{dst}/norm1", p)
+        t_norm(sd, src + "norm2", f"{dst}/norm2", p)
+        i += 1
+    return unflatten(p)
+
+
+def convert_qformer(sd: Dict[str, np.ndarray],
+                    prefix: str = "model.rgb_resampler.") -> Dict[str, Any]:
+    """Reference QFormer (torch TransformerDecoder, post-norm defaults;
+    internvla_n1_arch.py:97-118) → our QFormer. The reference's
+    `visual_proj` layer is defined but never called — skipped."""
+    return {
+        "query_tokens": sd[prefix + "query_tokens"],
+        "query_pos": sd[prefix + "query_pos"],
+        "decoder": _convert_post_norm_decoder(sd, prefix + "decoder."),
+    }
+
+
+def convert_internvla_n1(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Full InternVLA-N1 checkpoint (InternVLAN1ForCausalLM state dict:
+    Qwen2.5-VL trunk + System-1 modules, internvla_n1_arch.py:120-144) →
+    the complete InternVLAN1Model flax param tree.
+
+    Handles both HF key layouts (model.language_model./model.visual. for
+    transformers >=4.52, model./visual. for ==4.51 as pinned by the
+    reference requirements/internvla_n1.txt)."""
+    text_prefix = ("model.language_model."
+                   if any(k.startswith("model.language_model.") for k in sd)
+                   else "model.")
+    vis_prefix = ("model.visual."
+                  if any(k.startswith("model.visual.") for k in sd)
+                  else "visual.")
+    params: Dict[str, Any] = {
+        "language_model": convert_qwen25vl_text(sd, prefix=text_prefix),
+        "visual": convert_qwen25vl_vision(sd, prefix=vis_prefix),
+        "latent_queries": sd["model.latent_queries"],
+    }
+    if "model.traj_dit.model.caption_projection.linear_1.weight" in sd:
+        p: Dict[str, np.ndarray] = {}
+        t_linear(sd, "model.action_encoder", "action_encoder", p)
+        t_linear(sd, "model.action_decoder", "action_decoder", p)
+        t_linear(sd, "model.cond_projector.0", "cond_projector_0", p)
+        t_linear(sd, "model.cond_projector.2", "cond_projector_1", p)
+        params.update(unflatten(p))
+        params["traj_dit"] = convert_nextdit(sd)
+    if "model.rgb_model.cls_token" in sd:
+        params["rgb_model"] = convert_dinov2_vits(sd, prefix="model.rgb_model.")
+        params["memory_encoder"] = convert_memory_encoder(sd)
+        params["rgb_resampler"] = convert_qformer(sd)
+    return params

@@ -64,13 +64,26 @@ class _StubBatchedPolicy:
     def reset_slot(self, i, instruction):
         self.slots[i].instruction = instruction
 
+    def s2_submit(self, images, max_new_tokens=128, slot_ids=None):
+        return {"slot_ids": slot_ids}
+
+    def s2_collect(self, handle):
+        return [self.script.s2(i) for i in handle["slot_ids"]]
+
     def s2_step(self, images, max_new_tokens=128, slot_ids=None):
-        return [self.script.s2(i) for i in slot_ids]
+        return self.s2_collect(self.s2_submit(images, max_new_tokens,
+                                              slot_ids))
+
+    def s1_submit(self, rgb, latents, num_sample_trajs=32, slot_ids=None):
+        return {"n": rgb.shape[0]}
+
+    def s1_collect(self, handle):
+        return [self.script.s1(j) for j in range(handle["n"])]
 
     def s1_step_latent(self, rgb, latents, num_sample_trajs=32,
                        slot_ids=None):
-        n = rgb.shape[0]
-        return [self.script.s1(j) for j in range(n)]
+        return self.s1_collect(self.s1_submit(rgb, latents,
+                                              num_sample_trajs, slot_ids))
 
 
 class _StubSinglePolicy:
