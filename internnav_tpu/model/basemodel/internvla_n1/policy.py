@@ -137,6 +137,47 @@ class InternVLAN1Policy:
 
     # ------------------------------------------------------------ lifecycle
     @classmethod
+    def from_pretrained_torch(cls, path: str, cfg: InternVLAN1Config,
+                              tokenizer=None) -> "InternVLAN1Policy":
+        """Load a reference-format InternVLA-N1 torch checkpoint directory
+        (safetensors / pytorch_model.bin, sharded or not; reference
+        tolerant-loading semantics internvla_n1_policy.py:33-38) into a
+        ready policy. Weights cast to cfg.text.dtype; when
+        cfg.text.weight_dtype == 'int8' the decoder projections are
+        quantized to the resident W8A8 deployment format."""
+        import jax.numpy as jnp
+
+        from internnav_tpu.model.basemodel.internvla_n1.qwen_text import (
+            quantize_qwen_text_params,
+        )
+        from internnav_tpu.model.weights.convert import (
+            convert_internvla_n1,
+            load_torch_state_dict,
+        )
+
+        sd = load_torch_state_dict(path)
+        params = convert_internvla_n1(sd)
+        dtype = cfg.text.dtype
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype)
+            if np.asarray(a).dtype in (np.float32, np.float64) else jnp.asarray(a),
+            params)
+        if getattr(cfg.text, "weight_dtype", "bf16") == "int8":
+            params["language_model"] = quantize_qwen_text_params(
+                params["language_model"])
+        model = InternVLAN1Model(cfg)
+        if tokenizer is None:
+            try:
+                from internnav_tpu.model.utils.tokenization import (
+                    load_hf_tokenizer,
+                )
+
+                tokenizer = load_hf_tokenizer(path)
+            except Exception:
+                tokenizer = None  # SimpleTokenizer fallback in __init__
+        return cls(model, params, cfg, tokenizer=tokenizer)
+
+    @classmethod
     def build(cls, cfg: Optional[InternVLAN1Config] = None,
               rng: Optional[jax.Array] = None, image_hw: int = 56) -> "InternVLAN1Policy":
         cfg = cfg or InternVLAN1Config.tiny()

@@ -272,10 +272,9 @@ def test_nextdit_converter_parity():
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-4, rtol=3e-4)
 
 
-def test_full_n1_assembly_smoke():
-    """convert_internvla_n1 assembles a COMPLETE param tree whose structure
-    and shapes match InternVLAN1Model.init at matching tiny dims, and the
-    assembled tree runs generate_traj_nextdit."""
+def _build_tiny_checkpoint():
+    """A tiny reference-format torch state dict + the matching flax config:
+    HF tiny Qwen2.5-VL + System-1 modules at flax tiny dims."""
     pytest.importorskip("transformers")
     import jax.numpy as jnp
 
@@ -323,9 +322,6 @@ def test_full_n1_assembly_smoke():
         vision=QwenVisionConfig.tiny(),
         system1="nextdit_async", n_query=2, predict_step_nums=8,
         image_token_index=base + 4, traj_token_index=base + 5)
-    model = InternVLAN1Model(cfg)
-    ref_params = InternVLAN1Policy._init_params(model, cfg,
-                                                jax.random.PRNGKey(0), 56)
 
     # System-1 torch modules at the flax tiny dims (rgb_dim 32, latent 48)
     torch.manual_seed(4)
@@ -380,7 +376,26 @@ def test_full_n1_assembly_smoke():
                       num_heads=4).eval()
     for k, v in _sd(qf, "model.rgb_resampler.").items():
         sd[k] = v
+    return sd, cfg
 
+
+def test_full_n1_assembly_smoke():
+    """convert_internvla_n1 assembles a COMPLETE param tree whose structure
+    and shapes match InternVLAN1Model.init at matching tiny dims, and the
+    assembled tree runs generate_traj_nextdit."""
+    import jax.numpy as jnp
+
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Model)
+    from internnav_tpu.model.basemodel.internvla_n1.policy import (
+        InternVLAN1Policy)
+    from internnav_tpu.model.weights.convert import convert_internvla_n1
+
+    sd, cfg = _build_tiny_checkpoint()
+    model = InternVLAN1Model(cfg)
+    ref_params = InternVLAN1Policy._init_params(model, cfg,
+                                                jax.random.PRNGKey(0), 56)
+    rs = np.random.RandomState(7)
     params = convert_internvla_n1(sd)
 
     # memory_proj exists ONLY in tiny configs whose dims don't line up
@@ -407,3 +422,24 @@ def test_full_n1_assembly_smoke():
                      rng=jax.random.PRNGKey(1), num_sample_trajs=2,
                      method=model.generate_traj_nextdit)
     assert np.asarray(dp).shape == (2, 8, 3)
+
+
+def test_from_pretrained_torch_roundtrip(tmp_path):
+    """InternVLAN1Policy.from_pretrained_torch loads a reference-format
+    checkpoint directory (safetensors) end to end and runs an S2 step."""
+    from safetensors.numpy import save_file
+
+    from internnav_tpu.model.basemodel.internvla_n1.policy import (
+        InternVLAN1Policy)
+
+    sd, cfg = _build_tiny_checkpoint()
+    save_file(sd, str(tmp_path / "model.safetensors"))
+    pol = InternVLAN1Policy.from_pretrained_torch(str(tmp_path), cfg)
+    # splice the tiny-only memory_proj (absent from reference checkpoints)
+    init = InternVLAN1Policy._init_params(pol.model, cfg,
+                                          jax.random.PRNGKey(0), 56)
+    pol.params = dict(pol.params)
+    pol.params["memory_proj"] = init["memory_proj"]
+    img = np.random.RandomState(0).randint(0, 255, (56, 56, 3)).astype(np.uint8)
+    out = pol.s2_step(img, "go forward", max_new_tokens=3)
+    assert out.validate()
