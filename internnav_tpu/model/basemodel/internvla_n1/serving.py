@@ -56,7 +56,8 @@ class _Slot:
     """Host-side state for one episode stream."""
 
     __slots__ = ("rgb_list", "episode_idx", "instruction", "vision_cache",
-                 "active", "llm_output", "s1_mem_frame", "s1_mem_feats")
+                 "active", "llm_output", "s1_mem_frame", "s1_mem_feats",
+                 "prompt_cache")
 
     def __init__(self) -> None:
         self.reset("")
@@ -75,6 +76,8 @@ class _Slot:
         # call (internvla_n1.py:365-379).
         self.s1_mem_frame: Any = None
         self.s1_mem_feats: Any = None
+        #: (instruction, n_images, hw) -> (ids, rope pos, rope delta)
+        self.prompt_cache: Dict[Any, Any] = {}
 
 
 class BatchedN1Policy:
@@ -203,16 +206,28 @@ class BatchedN1Policy:
             ids_rows, pos_rows, deltas, tok_rows = [], [], [], []
             for i in rows:
                 s = self.slots[i]
-                ids = inner._build_prompt_ids(s.instruction, n_images, hw)
-                grid = np.tile(np.asarray([[1, h, w]]), (n_images, 1))
-                pos, delta = get_rope_index_25(
-                    ids, grid,
-                    spatial_merge_size=cfg.vision.spatial_merge_size,
-                    image_token_id=cfg.image_token_index,
-                )
-                ids_rows.append(ids[0])
-                pos_rows.append(np.asarray(pos)[:, 0])  # (3, P_i)
-                deltas.append(int(np.asarray(delta)[0, 0]))
+                # prompt ids + M-RoPE indices depend only on
+                # (instruction, n_images, hw) — identical every step at the
+                # steady state, so memoize per slot (the numpy rope-index
+                # walk over B ~700-token rows was a visible host cost per
+                # macro-step)
+                pkey = (s.instruction, n_images, hw)
+                cached = s.prompt_cache.get(pkey)
+                if cached is None:
+                    ids = inner._build_prompt_ids(s.instruction, n_images, hw)
+                    grid = np.tile(np.asarray([[1, h, w]]), (n_images, 1))
+                    pos, delta = get_rope_index_25(
+                        ids, grid,
+                        spatial_merge_size=cfg.vision.spatial_merge_size,
+                        image_token_id=cfg.image_token_index,
+                    )
+                    cached = (ids[0], np.asarray(pos)[:, 0],
+                              int(np.asarray(delta)[0, 0]))
+                    s.prompt_cache = {pkey: cached}  # one live entry
+                ids_row, pos_row, delta_v = cached
+                ids_rows.append(ids_row)
+                pos_rows.append(pos_row)  # (3, P_i)
+                deltas.append(delta_v)
                 tok_rows.append([s.vision_cache[k] for k in frame_keys[i]])
 
             # pad the group to a power-of-two compute batch (row 0 repeated)
