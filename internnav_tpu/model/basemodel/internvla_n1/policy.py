@@ -463,11 +463,18 @@ class InternVLAN1Policy:
         tokens = []
         single_grid = None
         for img, key in zip(images, frame_keys):
-            tok = self._vision_cache.get(key) if key is not None else None
-            if tok is None:
+            tok = self._vision_cache.pop(key, None) if key is not None else None
+            if tok is not None:
+                self._vision_cache[key] = tok  # LRU touch
+            else:
                 tok, single_grid = self._encode_images(img[None])
                 if key is not None:
                     self._vision_cache[key] = tok
+                    # bounded: over a long episode every frame is "current"
+                    # once; unbounded caching would hold O(episode_len)
+                    # device tokens (~0.5 MB each at 7B dims)
+                    while len(self._vision_cache) > 24:
+                        self._vision_cache.pop(next(iter(self._vision_cache)))
             tokens.append(tok)
         img_tokens = jnp.concatenate(tokens, axis=0)
         if single_grid is None:  # all cache hits: derive the per-image grid

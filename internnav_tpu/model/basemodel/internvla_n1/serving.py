@@ -79,6 +79,24 @@ class _Slot:
         #: (instruction, n_images, hw) -> (ids, rope pos, rope delta)
         self.prompt_cache: Dict[Any, Any] = {}
 
+    #: device vision-token entries kept per slot. History sampling touches
+    #: at most num_history+1 frames per step, but over a long episode every
+    #: frame is "current" once — unbounded caching would hold
+    #: O(episode_len) device tokens per slot (~0.5 MB each at 7B dims).
+    #: LRU-evicted entries re-encode from the host rgb_list copy on a miss.
+    CACHE_CAP = 24
+
+    def cache_get(self, k):
+        v = self.vision_cache.pop(k, None)
+        if v is not None:
+            self.vision_cache[k] = v  # LRU touch
+        return v
+
+    def cache_put(self, k, v) -> None:
+        self.vision_cache[k] = v
+        while len(self.vision_cache) > self.CACHE_CAP:
+            self.vision_cache.pop(next(iter(self.vision_cache)))
+
 
 class BatchedN1Policy:
     """B-slot batched InternVLA-N1 dual-system policy (see module doc)."""
@@ -133,7 +151,7 @@ class BatchedN1Policy:
         for i in slots:
             s = self.slots[i]
             for k in self._slot_frame_keys(s):
-                if k not in s.vision_cache:
+                if s.cache_get(k) is None:
                     cur_idx = len(s.rgb_list) - 1
                     if (dev_current is not None and current_row is not None
                             and k == cur_idx and i in current_row):
@@ -157,7 +175,7 @@ class BatchedN1Policy:
         tokens, grid = self.inner._encode_images(stack)
         per = tokens.shape[0] // len(todo)
         for j, (i, k) in enumerate(todo):
-            self.slots[i].vision_cache[k] = tokens[j * per:(j + 1) * per]
+            self.slots[i].cache_put(k, tokens[j * per:(j + 1) * per])
 
     # ---------------------------------------------------------------- steps
     @staticmethod
@@ -228,7 +246,7 @@ class BatchedN1Policy:
                 ids_rows.append(ids_row)
                 pos_rows.append(pos_row)  # (3, P_i)
                 deltas.append(delta_v)
-                tok_rows.append([s.vision_cache[k] for k in frame_keys[i]])
+                tok_rows.append([s.cache_get(k) for k in frame_keys[i]])
 
             # pad the group to a power-of-two compute batch (row 0 repeated)
             Bg = self._pow2_bucket(len(rows))
