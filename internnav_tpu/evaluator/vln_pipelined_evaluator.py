@@ -129,6 +129,11 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
         self.env.episodes = shares[0]
         cohorts.append(_Cohort(0, self.env, self.agent, self.progress,
                                self.store))
+        if n > 1 and cfg.env.env_type != "fake":
+            raise NotImplementedError(
+                "vln_pipelined builds one env per cohort; only the fake "
+                "vectorized env is constructible here (pass cohorts=1 or "
+                "construct the evaluator with pre-built envs for real sims)")
         for c in range(1, n):
             env = FakeEnv(cfg.env, cfg.task, episodes=shares[c])
             agent = self._make_cohort_agent(c)
