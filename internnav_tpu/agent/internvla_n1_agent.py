@@ -32,6 +32,34 @@ from internnav_tpu.model.utils.vln_utils import S2Input, S2Output
 LOOK_DOWN_ACTION = 5
 
 
+def _build_n1_policy(cfg: AgentCfg, settings: Dict[str, Any]):
+    """Shared N1 policy construction for the dual-system agents.
+
+    ckpt_path set → load the reference-format torch checkpoint via
+    `InternVLAN1Policy.from_pretrained_torch` at the flagship 7B dims
+    (settings['weight_dtype']='int8' selects the W8A8-resident serving
+    format); otherwise random-init at settings['config'] (default tiny)."""
+    import os
+
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Config,
+    )
+    from internnav_tpu.model.basemodel.internvla_n1.policy import (
+        InternVLAN1Policy,
+    )
+
+    system1 = settings.get("system1", "nextdit_async")
+    n1_cfg = settings.get("config")
+    if cfg.ckpt_path and os.path.exists(cfg.ckpt_path):
+        if n1_cfg is None:
+            n1_cfg = InternVLAN1Config.qwen25vl_7b(
+                system1, weight_dtype=settings.get("weight_dtype", "bf16"))
+        return InternVLAN1Policy.from_pretrained_torch(cfg.ckpt_path, n1_cfg)
+    if n1_cfg is None:
+        n1_cfg = InternVLAN1Config.tiny(system1)
+    return InternVLAN1Policy.build(n1_cfg)
+
+
 class S2Mailbox:
     """SPSC mailbox: latest-wins request slot + result slot."""
 
@@ -78,13 +106,7 @@ class InternVLAN1Agent(Agent):
         super().__init__(cfg)
         settings = cfg.model_settings or {}
         if policy is None:
-            from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Config
-            from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
-
-            n1_cfg = settings.get("config") or InternVLAN1Config.tiny(
-                settings.get("system1", "nextdit_async")
-            )
-            policy = InternVLAN1Policy.build(n1_cfg)
+            policy = _build_n1_policy(cfg, settings)
         self.policy = policy
         self.mode = settings.get("infer_mode", "partial_async")  # sync | partial_async
         self.sys2_max_forward_step = int(settings.get("sys2_max_forward_step", 8))
@@ -263,22 +285,14 @@ class BatchedInternVLAN1Agent(Agent):
         settings = cfg.model_settings or {}
         self.batch_size = int(settings.get("batch_size", 8))
         if policy is None:
-            from internnav_tpu.model.basemodel.internvla_n1.model import (
-                InternVLAN1Config,
-            )
-            from internnav_tpu.model.basemodel.internvla_n1.policy import (
-                InternVLAN1Policy,
-            )
             from internnav_tpu.model.basemodel.internvla_n1.serving import (
                 BatchedN1Policy,
             )
 
-            n1_cfg = settings.get("config") or InternVLAN1Config.tiny(
-                settings.get("system1", "nextdit_async"))
-            single = InternVLAN1Policy.build(n1_cfg)
-            policy = BatchedN1Policy(single.model, single.params, n1_cfg,
+            single = _build_n1_policy(cfg, settings)
+            policy = BatchedN1Policy(single.model, single.params, single.cfg,
                                      batch_size=self.batch_size,
-                                     tokenizer=single.tokenizer)
+                                     inner=single)
         self.policy = policy
         self.mode = settings.get("infer_mode", "partial_async")
         self.sys2_max_forward_step = int(settings.get("sys2_max_forward_step", 8))

@@ -72,6 +72,19 @@ class InternVLAN1Config:
                    system1=system1, n_query=2, predict_step_nums=8,
                    image_token_index=base + 4, traj_token_index=base + 5)
 
+    @classmethod
+    def qwen25vl_7b(cls, system1: str = "nextdit_async",
+                    weight_dtype: str = "bf16") -> "InternVLAN1Config":
+        """The flagship deployment config: true Qwen2.5-VL-7B dims (the
+        QwenTextConfig/QwenVisionConfig defaults), bf16 activations;
+        weight_dtype='int8' selects the W8A8-resident serving format."""
+        import jax.numpy as jnp
+
+        return cls(text=QwenTextConfig(dtype=jnp.bfloat16,
+                                       weight_dtype=weight_dtype),
+                   vision=QwenVisionConfig(dtype=jnp.bfloat16),
+                   system1=system1)
+
 
 class MemoryEncoder(nn.Module):
     """3-layer post-norm transformer over 384-d image features

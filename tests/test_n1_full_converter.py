@@ -443,3 +443,32 @@ def test_from_pretrained_torch_roundtrip(tmp_path):
     img = np.random.RandomState(0).randint(0, 255, (56, 56, 3)).astype(np.uint8)
     out = pol.s2_step(img, "go forward", max_new_tokens=3)
     assert out.validate()
+
+
+def test_agent_loads_checkpoint_via_ckpt_path(tmp_path):
+    """AgentCfg.ckpt_path routes the dual-system agents through
+    from_pretrained_torch (reference eval-config UX: agents load their
+    own checkpoints)."""
+    from safetensors.numpy import save_file
+
+    from internnav_tpu.agent import Agent
+    from internnav_tpu.configs import AgentCfg
+
+    sd, cfg = _build_tiny_checkpoint()
+    save_file(sd, str(tmp_path / "model.safetensors"))
+    agent = Agent.init(AgentCfg(
+        model_name="internvla_n1_batched", ckpt_path=str(tmp_path),
+        model_settings={"batch_size": 2, "config": cfg,
+                        "max_new_tokens": 3, "num_sample_trajs": 2}))
+    # memory_proj splice (tiny-only shim; absent from reference ckpts)
+    inner = agent.policy.inner
+    from internnav_tpu.model.basemodel.internvla_n1.policy import (
+        InternVLAN1Policy)
+    init = InternVLAN1Policy._init_params(inner.model, cfg,
+                                          jax.random.PRNGKey(0), 56)
+    inner.params = dict(inner.params)
+    inner.params["memory_proj"] = init["memory_proj"]
+    obs = [{"rgb": np.zeros((56, 56, 3), np.uint8),
+            "instruction_text": "go forward"} for _ in range(2)]
+    outs = agent.step(obs)
+    assert len(outs) == 2 and all("action" in o for o in outs)
