@@ -29,20 +29,11 @@ import numpy as np
 
 from internnav_tpu.agent.base import Agent
 from internnav_tpu.configs.evaluator import EvalCfg
-from internnav_tpu.env.episodes import (
-    Episode,
-    ResumableEpisodeLoader,
-    group_by_scene,
-    shard_episodes,
-)
+from internnav_tpu.env.episodes import Episode
 from internnav_tpu.env.fake_env import FakeEnv
 from internnav_tpu.evaluator.base import Evaluator
 from internnav_tpu.evaluator.utils.data_collector import EpisodeResultStore
-from internnav_tpu.evaluator.vln_evaluator import (
-    VLNBatchedEvaluator,
-    _rank,
-    _world,
-)
+from internnav_tpu.evaluator.vln_evaluator import VLNBatchedEvaluator
 from internnav_tpu.utils.logging import ProgressLogger
 
 
