@@ -206,3 +206,44 @@ def test_pipelined_cohorts_match_sequential(built):
     for ci, pol in enumerate(server.cohorts):
         assert [s.llm_output for s in pol.slots] == seq_text[ci]
         assert [o.idx for o in res[ci][1][0]] == seq_idx[ci]
+
+
+def test_serve_stream_matches_blocking_cycles(built):
+    """serve_stream (cycle-boundary pipelined) must produce the same
+    per-slot S2 decodes per cycle as blocking macro-steps on the same
+    cohort state."""
+    from internnav_tpu.model.basemodel.internvla_n1.serving import (
+        PipelinedN1Server,
+    )
+
+    cfg, single, _ = built
+    f = _frames(55, 6)
+    frames = {(ci, t): np.stack([f[(2 * t + ci) % 6], f[(2 * t + ci + 1) % 6]])
+              for ci in range(2) for t in range(2)}
+
+    # blocking reference: two independent cohorts, two macro-cycles each
+    want = {}
+    for ci in range(2):
+        pol = BatchedN1Policy(single.model, single.params, cfg, 2,
+                              tokenizer=single.tokenizer)
+        pol._rng = jax.random.PRNGKey(200 + ci)
+        pol.reset(INSTR)
+        for t in range(2):
+            pol.s2_step(frames[(ci, t)], max_new_tokens=4)
+            want[(ci, t)] = [s.llm_output for s in pol.slots]
+
+    server = PipelinedN1Server(single.model, single.params, cfg,
+                               batch_size=2, cohorts=2,
+                               tokenizer=single.tokenizer)
+    got = {}
+
+    def on_cycle(ci, t, s2out, s1res):
+        got[(ci, t)] = [s.llm_output for s in server.cohorts[ci].slots]
+
+    for ci, pol in enumerate(server.cohorts):
+        pol._rng = jax.random.PRNGKey(200 + ci)
+        pol.reset(INSTR)
+    server.serve_stream(lambda ci, t, phase: frames[(ci, t)], 2,
+                        max_new_tokens=4, num_sample_trajs=2, s1_calls=1,
+                        on_cycle=on_cycle)
+    assert got == want
