@@ -37,6 +37,22 @@ from internnav_tpu.evaluator.vln_evaluator import VLNBatchedEvaluator
 from internnav_tpu.utils.logging import ProgressLogger
 
 
+def _step_coroutine(agent, batch):
+    """agent.step as a scheduler coroutine. Agents exposing
+    `step_coroutine` (the batched dual-system agent) yield at device-wait
+    points for cross-cohort overlap; any other agent runs blocking inside
+    a zero-yield generator — correct, just without the overlap."""
+    if hasattr(agent, "step_coroutine"):
+        return agent.step_coroutine(batch)
+
+    def blocking():
+        if False:  # pragma: no cover — makes this a generator
+            yield
+        return agent.step(batch)
+
+    return blocking()
+
+
 class _Cohort:
     """Per-cohort eval state: env + agent slots + FSM bookkeeping."""
 
@@ -161,7 +177,7 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
             for c in cohorts:
                 batch = c.build_batch(self._fake_obs)
                 if batch is not None:
-                    gens[c.idx] = c.agent.step_coroutine(batch)
+                    gens[c.idx] = _step_coroutine(c.agent, batch)
             if not gens:
                 break
             # round-robin: advance each coroutine one hop per pass, so one

@@ -121,3 +121,21 @@ def test_seq2seq_agent_batch_state(tmp_path):
     agent.reset([0])
     assert np.abs(agent._states[0]).sum() == 0
     assert np.abs(agent._states[1]).sum() > 0
+
+
+def test_pipelined_eval_resume_skips_done(tmp_path):
+    """Run-twice resume (the reference's signature eval test,
+    SURVEY.md §4) for the dual-cohort pipelined evaluator: the second run
+    finds every episode in the store and reports the same aggregate."""
+    from internnav_tpu.evaluator import VLNPipelinedEvaluator
+
+    cfg = small_eval_cfg(tmp_path)
+    cfg.env.env_settings = dict(cfg.env.env_settings or {}, cohorts=2)
+    cfg.eval_type = "vln_pipelined"
+    m1 = VLNPipelinedEvaluator(cfg, episodes=make_episodes(4)).eval()
+    assert m1["num_episodes"] == 4
+    ev2 = VLNPipelinedEvaluator(cfg, episodes=make_episodes(4))
+    assert len(ev2.env.episodes) == 0  # all resumed from the store
+    m2 = ev2.eval()
+    assert m2["num_episodes"] == 4
+    assert m2["success"] == m1["success"]
