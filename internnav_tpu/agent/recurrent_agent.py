@@ -28,16 +28,22 @@ from internnav_tpu.utils.misc import batch_obs
 class _RecurrentAgentBase(Agent):
     policy_name = ""
 
-    def __init__(self, cfg: AgentCfg):
+    def __init__(self, cfg: AgentCfg, policy=None):
         super().__init__(cfg)
         model_cfg = get_config(self.policy_name)
         for k, v in (cfg.model_settings or {}).items():
             setattr(model_cfg, k, v)
-        policy_cls = get_policy(self.policy_name)
-        if cfg.ckpt_path:
-            self.policy = policy_cls.from_pretrained(cfg.ckpt_path, cfg=model_cfg)
+        if policy is not None:
+            # cohort agents share one policy (params + jit caches); only
+            # the recurrent state here is per-agent
+            self.policy = policy
         else:
-            self.policy = policy_cls.build(model_cfg)
+            policy_cls = get_policy(self.policy_name)
+            if cfg.ckpt_path:
+                self.policy = policy_cls.from_pretrained(cfg.ckpt_path,
+                                                         cfg=model_cfg)
+            else:
+                self.policy = policy_cls.build(model_cfg)
         self.model_cfg = model_cfg
         self.hidden_size = model_cfg.state_encoder.hidden_size
         self.num_layers = self.policy.num_recurrent_layers()
@@ -94,7 +100,11 @@ class _RecurrentAgentBase(Agent):
             })
         return batch_obs(fields)
 
-    def step(self, obs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    def step_coroutine(self, obs: List[Dict[str, Any]]):
+        """Generator form of `step` for pipelined evaluation: the jitted
+        forward dispatches asynchronously, then yields so a scheduler can
+        run other cohorts' host work while this forward executes on
+        device; the result fetch happens after resume."""
         n = len(obs)
         self._ensure_state(n)
         batch = {
@@ -104,12 +114,21 @@ class _RecurrentAgentBase(Agent):
             "masks": jnp.asarray(self._not_done),
             "mode": "inference",
         }
-        actions, states, _ = self.policy.forward(batch)
+        actions, states, _ = self.policy.forward(batch)  # async dispatch
+        yield  # device busy: recurrent forward in flight
         actions = np.asarray(actions).reshape(n)
         self._states = np.array(states)  # writable host copy (per-env reset)
         self._prev_actions = actions.astype(np.int32)
         self._not_done[:] = 1.0
         return [{"action": [int(a)], "ideal_flag": True} for a in actions]
+
+    def step(self, obs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        gen = self.step_coroutine(obs)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                return stop.value
 
 
 @Agent.register("cma")

@@ -161,6 +161,13 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
                                   batch_size=base.policy.batch_size,
                                   inner=inner)
             return type(base)(base.cfg, policy=pol)
+        if hasattr(base, "policy"):
+            try:
+                # recurrent agents: share the policy object (params + jit
+                # caches); per-agent state stays independent
+                return type(base)(base.cfg, policy=base.policy)
+            except TypeError:
+                pass
         return Agent.init(self.cfg.agent)  # independent fallback
 
     def eval_action(self) -> List[Dict[str, Any]]:

@@ -139,3 +139,15 @@ def test_pipelined_eval_resume_skips_done(tmp_path):
     m2 = ev2.eval()
     assert m2["num_episodes"] == 4
     assert m2["success"] == m1["success"]
+
+
+def test_pipelined_eval_cma_agent(tmp_path):
+    """Pipelined dual-cohort eval with the recurrent CMA agent (its
+    step_coroutine overlap path)."""
+    from internnav_tpu.evaluator import VLNPipelinedEvaluator
+
+    cfg = small_eval_cfg(tmp_path, env_num=2, max_step=3, model="cma")
+    cfg.env.env_settings = dict(cfg.env.env_settings or {}, cohorts=2)
+    cfg.eval_type = "vln_pipelined"
+    m = VLNPipelinedEvaluator(cfg, episodes=make_episodes(4)).eval()
+    assert m["num_episodes"] == 4
