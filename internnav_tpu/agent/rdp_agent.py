@@ -82,7 +82,11 @@ class RdpAgent(Agent):
                          "depth": depth[..., None], "imu": imu})
         return batch_obs(rows)
 
-    def step(self, obs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    def step_coroutine(self, obs: List[Dict[str, Any]]):
+        """Generator form of `step` for pipelined evaluation: both device
+        programs (RNN update + denoise, when the waypoint cache is empty)
+        dispatch before the yield — `need_act` depends only on host-side
+        caches — so the fetches after resume overlap other cohorts."""
         n = len(obs)
         self._ensure(n)
         observations = self._build_obs(obs)
@@ -94,16 +98,18 @@ class RdpAgent(Agent):
         }
         # update RNN every step (reference rdp_agent mode='update_rnn')
         _, states = self.policy.forward(dict(base, mode="update_rnn"))
+        need_act = any(len(c) == 0 for c in self._caches)
+        act_out = None
+        if need_act:
+            self._rng, sub = jax.random.split(self._rng)
+            act_out = self.policy.forward(dict(base, mode="act", rng=sub))
+        yield  # device busy: update_rnn (+ act) in flight
         self._states = np.array(states)
         self._masks[:] = 1.0
 
-        need_act = any(len(c) == 0 for c in self._caches)
         stop_flags = np.zeros((n,), bool)
         if need_act:
-            self._rng, sub = jax.random.split(self._rng)
-            traj, _, _, stop_progress, _ = self.policy.forward(
-                dict(base, mode="act", rng=sub)
-            )
+            traj, _, _, stop_progress, _ = act_out
             waypoints = self.policy.unnormalize_actions(np.asarray(traj), cumsum=False)
             stop_np = np.asarray(stop_progress).reshape(n)
             for i in range(n):
@@ -124,6 +130,14 @@ class RdpAgent(Agent):
                 out.append({"action": self._waypoint_to_discrete(wp),
                             "ideal_flag": True, "waypoint": wp.tolist(), "stop": False})
         return out
+
+    def step(self, obs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        gen = self.step_coroutine(obs)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                return stop.value
 
     @staticmethod
     def _waypoint_to_discrete(wp: np.ndarray) -> List[int]:
