@@ -40,6 +40,16 @@ class IlCfg(_Cfg):
     warmup_ratio: float = 0.03
     lr_schedule: str = "cosine"  # cosine | linear | constant
     max_grad_norm: float = 1.0
+    #: microbatches accumulated per optimizer step (reference inherits this
+    #: from HF TrainingArguments, train_dual_system.sh:65 — needed to match
+    #: the 64-GPU effective batch on a small TPU slice). The global batch is
+    #: split into this many microbatches inside ONE jitted step (lax.scan),
+    #: gradients averaged, one optimizer update.
+    grad_accum_steps: int = 1
+    #: keep an EMA of the params (diffusion trainers; the reference imports
+    #: diffusion_policy's EMAModel). Decay follows trainer/ema.py's
+    #: power-warmup schedule.
+    use_ema: bool = False
     lmdb_features_dir: Optional[str] = None
     lerobot_features_dir: Optional[str] = None
     dataset_root_dir: Optional[str] = None

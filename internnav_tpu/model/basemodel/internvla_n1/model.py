@@ -227,9 +227,11 @@ class InternVLAN1Model(nn.Module):
         return embeds
 
     def encode_vision(self, patches, cos, sin, window_segments, full_segments,
-                      window_index, reverse_index):
+                      window_index, reverse_index, window_block: int = 0,
+                      full_block: int = 0):
         return self.visual(patches, cos, sin, window_segments, full_segments,
-                           window_index, reverse_index)
+                           window_index, reverse_index,
+                           window_block=window_block, full_block=full_block)
 
     def traj_queries(self):
         """The learned latent query embeddings (1, n_query, D)."""
@@ -274,13 +276,17 @@ class InternVLAN1Model(nn.Module):
         feats = feats.reshape(B, -1, feats.shape[-1])  # (B, S*P, rgb_dim)
         return self.memory_tokens_from_feats(feats)
 
-    def nextdit_velocity(self, noisy_traj, timestep, z_latents):
-        """action features → DiT → decoded velocity (B, T, 3)."""
+    def nextdit_velocity(self, noisy_traj, timestep, z_latents,
+                         num_samples: int = 1):
+        """action features → DiT → decoded velocity.
+        noisy_traj (B*num_samples, T, 3); timestep (B,); z_latents (B, L, E)
+        — sample i*num_samples+j conditions on batch row i."""
         feats = self.action_encoder(noisy_traj)
         T = feats.shape[1]
         pos = _sin_pos_encoding(jnp.arange(T), feats.shape[-1])
         feats = feats + pos[None]
-        out = self.traj_dit(feats, timestep, z_latents)
+        out = self.traj_dit(feats, timestep, z_latents,
+                            num_samples=num_samples)
         return self.action_decoder(out)
 
     def generate_traj_nextdit(self, traj_latents, images_dp=None, *,
@@ -337,20 +343,22 @@ class InternVLAN1Model(nn.Module):
             # it), where u + 1.0*(c - u) == c exactly: the unconditional
             # branch is dead compute. Run the conditional branch only —
             # halves the DiT batch with output equal up to float epsilon.
-            cond = jnp.repeat(hidden, num_sample_trajs, axis=0)
-
+            # Conditioning stays at batch B (num_samples folding): the
+            # caption projection, temb and cross K/V aren't recomputed per
+            # diffusion sample.
             def velocity(x, t):
                 return self.nextdit_velocity(
-                    x, jnp.broadcast_to(t, (x.shape[0],)), cond)
+                    x, jnp.broadcast_to(t, (B,)), hidden,
+                    num_samples=num_sample_trajs)
         else:
             null = jnp.zeros_like(hidden)
             cond2 = jnp.concatenate([null, hidden], axis=0)
-            cond2 = jnp.repeat(cond2, num_sample_trajs, axis=0)
 
             def velocity(x, t):
                 x2 = jnp.concatenate([x, x], axis=0)
                 v = self.nextdit_velocity(
-                    x2, jnp.broadcast_to(t, (x2.shape[0],)), cond2)
+                    x2, jnp.broadcast_to(t, (2 * B,)), cond2,
+                    num_samples=num_sample_trajs)
                 v_u, v_c = v[: x.shape[0]], v[x.shape[0]:]
                 return v_u + guidance_scale * (v_c - v_u)
 

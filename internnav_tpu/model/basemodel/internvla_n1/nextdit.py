@@ -150,41 +150,67 @@ class NextDiTBlock(nn.Module):
     cfg: NextDiTConfig
 
     @nn.compact
-    def __call__(self, x, cond, cond_mask, temb):
+    def __call__(self, x, cond, cond_mask, temb, num_samples: int = 1):
+        """x: (B*num_samples, T, dim); cond/temb: (B, ...) — per-condition
+        tensors stay at batch B, broadcast over the diffusion samples
+        (sample i*num_samples+j conditions on batch row i)."""
         c = self.cfg
         H = c.n_heads
+        ns = num_samples
+        B = temb.shape[0]
+        T = x.shape[1]
+
+        def bc(g):  # (B, dim) gate/scale → (B*ns, 1, dim)
+            if ns == 1:
+                return g[:, None]
+            return jnp.repeat(g, ns, axis=0)[:, None]
+
         # AdaLN-zero style gates from temb (LuminaRMSNormZero)
         emb = nn.Dense(4 * c.dim, name="norm1_linear")(nn.silu(temb))
         scale_msa, gate_msa, scale_mlp, gate_mlp = jnp.split(emb, 4, axis=-1)
-        xn = _RMSNorm(c.norm_eps, name="norm1_rms")(x) * (1 + scale_msa[:, None])
+        xn = _RMSNorm(c.norm_eps, name="norm1_rms")(x) * (1 + bc(scale_msa))
 
         self_out = GQAAttention(c.dim, H, c.n_kv_heads, qk_norm=c.qk_norm,
                                 name="attn1")(xn, xn)
         cond_n = _RMSNorm(c.norm_eps, name="norm1_context")(cond)
+        # cross attention: K/V are per-CONDITION — fold the samples into the
+        # query sequence (B, ns*T) so cond projections run at batch B, not
+        # B*ns (the 32-sample serving denoise recomputed them 32x per Euler
+        # step before this)
+        xq = xn.reshape(B, ns * T, c.dim) if ns > 1 else xn
         cross_out = GQAAttention(c.dim, H, c.n_kv_heads, kv_dim=c.dim,
-                                 qk_norm=c.qk_norm, name="attn2")(xn, cond_n, cond_mask)
+                                 qk_norm=c.qk_norm, name="attn2")(xq, cond_n, cond_mask)
+        if ns > 1:
+            cross_out = cross_out.reshape(B * ns, T, H, -1)
         gate = self.param("gate", nn.initializers.zeros, (H,))
         cross_out = cross_out * jnp.tanh(gate)[None, None, :, None]
         mixed = (self_out + cross_out).reshape(x.shape[0], x.shape[1], c.dim)
         mixed = nn.Dense(c.dim, use_bias=False, name="to_out")(mixed)
-        x = x + jnp.tanh(gate_msa)[:, None] * _RMSNorm(c.norm_eps, name="norm2")(mixed)
+        x = x + jnp.tanh(bc(gate_msa)) * _RMSNorm(c.norm_eps, name="norm2")(mixed)
 
         y = LuminaFeedForward(c.dim, c.multiple_of, name="feed_forward")(
-            _RMSNorm(c.norm_eps, name="ffn_norm1")(x) * (1 + scale_mlp[:, None])
+            _RMSNorm(c.norm_eps, name="ffn_norm1")(x) * (1 + bc(scale_mlp))
         )
-        x = x + jnp.tanh(gate_mlp)[:, None] * _RMSNorm(c.norm_eps, name="ffn_norm2")(y)
+        x = x + jnp.tanh(bc(gate_mlp)) * _RMSNorm(c.norm_eps, name="ffn_norm2")(y)
         return x
 
 
 class NextDiT(nn.Module):
-    """x: pre-embedded action features (B, T, dim); timestep (B,);
-    z_latents: conditioning tokens (B, L, latent_embedding_size).
-    Returns (B, T, dim) (the parent's action_decoder maps to 3)."""
+    """x: pre-embedded action features (B*num_samples, T, dim); timestep
+    (B,); z_latents: conditioning tokens (B, L, latent_embedding_size).
+    Returns (B*num_samples, T, dim) (the parent's action_decoder maps to 3).
+
+    num_samples > 1 folds diffusion-sample replication out of the
+    conditioning path: caption projection, timestep/caption embedding and
+    the per-layer cross-attention K/V all run at batch B while only the
+    noisy-trajectory stream runs at B*num_samples — bit-equal to repeating
+    z_latents num_samples times (row i*num_samples+j ↔ condition i)."""
 
     cfg: NextDiTConfig
 
     @nn.compact
-    def __call__(self, x, timestep, z_latents, latents_mask=None):
+    def __call__(self, x, timestep, z_latents, latents_mask=None,
+                 num_samples: int = 1):
         c = self.cfg
         x = x.astype(c.dtype)
         z_latents = z_latents.astype(c.dtype)
@@ -199,12 +225,15 @@ class NextDiT(nn.Module):
                                 name="time_caption_embed")(timestep, cond, latents_mask)
         temb = temb.astype(c.dtype)
         for i in range(c.n_layers):
-            x = NextDiTBlock(c, name=f"layers_{i}")(x, cond, latents_mask, temb)
+            x = NextDiTBlock(c, name=f"layers_{i}")(x, cond, latents_mask,
+                                                    temb, num_samples)
         # LuminaLayerNormContinuous out: scale-conditioned LayerNorm + an
         # output Linear (out_dim = in_channels; nextdit_traj.py:283-290
         # sets out_dim=patch_size^2*out_channels=384, so diffusers'
         # LuminaLayerNormContinuous instantiates linear_2)
         scale = nn.Dense(c.dim, name="norm_out_linear")(nn.silu(temb))
+        if num_samples > 1:
+            scale = jnp.repeat(scale, num_samples, axis=0)
         x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                          name="norm_out_ln")(x) * (1 + scale[:, None])
         return nn.Dense(c.dim, name="norm_out_linear2")(x)

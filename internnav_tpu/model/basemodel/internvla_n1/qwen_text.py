@@ -440,6 +440,7 @@ def greedy_generate(
     def body(state):
         step, tokens, caches, done = state
         cur = tokens[:, step]
+        done = done | jnp.isin(cur, eos)
         embeds = model.apply({"params": params}, cur[:, None], method=model.embed)
         pos1 = (prompt_lengths + rope_deltas + step).astype(jnp.int32)[None, :]  # (1, B)
         if mrope:
@@ -447,16 +448,26 @@ def greedy_generate(
         else:
             pos = pos1.reshape(B, 1)
         cache_len = prompt_lengths + step
-        logits, _, caches = model.apply(
+        _, hidden, caches = model.apply(
             {"params": params}, embeds, pos, caches, cache_len,
-            method=model.decode_step,
+            compute_logits=False, method=model.decode_step,
+        )
+        # the loop's LAST iteration (budget exhausted, or every row already
+        # at EOS) only runs to write the final token's K/V into the cache
+        # for the cached traj-latents path — its next-token logits are
+        # discarded, so skip the lm_head (a 0.5 GB int8 weight read) there
+        need_logits = (step + 1 < max_new_tokens) & ~done.all()
+        logits = jax.lax.cond(
+            need_logits,
+            lambda h: model.apply({"params": params},
+                                  method=lambda mdl: mdl._logits(h)),
+            lambda h: jnp.zeros((B, model.cfg.vocab_size), jnp.float32),
+            hidden,
         )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        done = done | jnp.isin(cur, eos)
         nxt = jnp.where(done, eos[0], nxt)
         # step+1 == max_new_tokens on the final iteration: the scatter is
-        # dropped (out of bounds) — that iteration only runs to write the
-        # last token's K/V into the cache for the cached traj-latents path
+        # dropped (out of bounds)
         tokens = tokens.at[:, step + 1].set(nxt)
         return step + 1, tokens, caches, done
 

@@ -106,6 +106,15 @@ def vision_indices(cfg_key: Tuple, grid_thw_key: Tuple) -> Dict[str, np.ndarray]
     full_seg_units = full_seg.reshape(seq_len // unit, unit)[window_index].reshape(seq_len)
 
     reverse = np.argsort(window_index, kind="stable")
+    # uniform-block fast path: when every window (resp. image) has the same
+    # token count, block-diagonal attention is a reshape + batched attention
+    # over tiny blocks instead of a segment-masked full-sequence kernel that
+    # computes the whole S x S score matrix (28 windowed ViT blocks were
+    # ~31 ms of the B=16 fused-S2 profile; true block-diagonal is ~256x
+    # fewer FLOPs at the 224px 64-token window).
+    window_block = int(win_seqlens[0]) if len(set(win_seqlens)) == 1 else 0
+    full_lens = set(full_seqlens.tolist())
+    full_block = int(full_seqlens[0]) if len(full_lens) == 1 else 0
     return {
         "window_index": window_index.astype(np.int32),
         "reverse_index": reverse.astype(np.int32),
@@ -113,6 +122,8 @@ def vision_indices(cfg_key: Tuple, grid_thw_key: Tuple) -> Dict[str, np.ndarray]
         "window_segments": win_seg.astype(np.int32),
         "full_segments": full_seg_units.astype(np.int32),
         "seq_len": np.int32(seq_len),
+        "window_block": window_block,
+        "full_block": full_block,
     }
 
 
@@ -133,8 +144,13 @@ class VisionBlock(nn.Module):
     cfg: QwenVisionConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, segment_ids):
-        """x: (S, D) token-major single sequence; segment_ids: (S,)."""
+    def __call__(self, x, cos, sin, segment_ids, block: int = 0):
+        """x: (S, D) token-major single sequence; segment_ids: (S,).
+
+        block > 0: the segments are uniform contiguous `block`-token runs
+        (vision_indices['window_block'/'full_block']) — attention runs
+        block-diagonally via reshape + batched attention, skipping the
+        off-diagonal work entirely."""
         c = self.cfg
         H = c.num_heads
         D = c.hidden_size // H
@@ -152,15 +168,28 @@ class VisionBlock(nn.Module):
         q = rope(q).astype(c.dtype)
         k = rope(k).astype(c.dtype)
         v = v.reshape(-1, H, D).astype(c.dtype)
-        # (1, H, S, D) with segment isolation; Pallas on TPU keeps memory
-        # tile-bounded (the XLA path materializes (S, S) scores — 21 GB at
-        # a 72-image batched-serving history warmup)
-        attn = flash_attention(
-            q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
-            v.transpose(1, 0, 2)[None],
-            causal=False, segment_ids=segment_ids[None],
-        )
-        out = attn[0].transpose(1, 0, 2).reshape(-1, c.hidden_size)
+        if block:
+            S = q.shape[0]
+            qb = q.reshape(S // block, block, H, D)
+            kb = k.reshape(S // block, block, H, D)
+            vb = v.reshape(S // block, block, H, D)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", qb, kb,
+                                preferred_element_type=jnp.float32)
+            scores = scores / np.sqrt(D)
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vb.dtype), vb,
+                              preferred_element_type=jnp.float32)
+            out = attn.astype(c.dtype).reshape(-1, c.hidden_size)
+        else:
+            # (1, H, S, D) with segment isolation; Pallas on TPU keeps memory
+            # tile-bounded (the XLA path materializes (S, S) scores — 21 GB
+            # at a 72-image batched-serving history warmup)
+            attn = flash_attention(
+                q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
+                v.transpose(1, 0, 2)[None],
+                causal=False, segment_ids=segment_ids[None],
+            )
+            out = attn[0].transpose(1, 0, 2).reshape(-1, c.hidden_size)
         out = nn.Dense(c.hidden_size, use_bias=True, dtype=c.dtype, name="proj")(out)
         x = x + out
         y = RMSNorm(1e-6, name="norm2")(x)
@@ -180,7 +209,8 @@ class QwenVisionTower(nn.Module):
 
     @nn.compact
     def __call__(self, patches, cos, sin, window_segments, full_segments,
-                 window_index, reverse_index):
+                 window_index, reverse_index, window_block: int = 0,
+                 full_block: int = 0):
         c = self.cfg
         unit = c.spatial_merge_size ** 2
         x = nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype,
@@ -189,8 +219,10 @@ class QwenVisionTower(nn.Module):
         # permute into window order at merge-unit granularity
         x = x.reshape(S // unit, unit, -1)[window_index].reshape(S, -1)
         for i in range(c.depth):
-            seg = full_segments if i in c.fullatt_block_indexes else window_segments
-            x = VisionBlock(c, name=f"blocks_{i}")(x, cos, sin, seg)
+            full = i in c.fullatt_block_indexes
+            seg = full_segments if full else window_segments
+            blk = full_block if full else window_block
+            x = VisionBlock(c, name=f"blocks_{i}")(x, cos, sin, seg, block=blk)
         # merger: RMSNorm → group merge_unit → MLP
         x = RMSNorm(1e-6, name="merger_ln_q")(x)
         x = x.reshape(S // unit, unit * c.hidden_size)
@@ -263,5 +295,6 @@ def encode_images(
         {"params": params}, jnp.asarray(patches), jnp.asarray(cos), jnp.asarray(sin),
         jnp.asarray(idx["window_segments"]), jnp.asarray(idx["full_segments"]),
         jnp.asarray(idx["window_index"]), jnp.asarray(idx["reverse_index"]),
+        window_block=idx["window_block"], full_block=idx["full_block"],
     )
     return tokens, grid_thw

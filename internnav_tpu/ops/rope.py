@@ -62,23 +62,22 @@ def mrope_cos_sin(
     corresponding stream, then duplicated to full dim.
     """
     inv = jnp.asarray(rope_inv_freq(dim, theta), dtype=jnp.float32)  # (dim/2,)
-    ang = position_ids[..., None].astype(jnp.float32) * inv  # (3, B, T, dim/2)
-    cos3, sin3 = jnp.cos(ang), jnp.sin(ang)
     sections = list(mrope_section)
     assert sum(sections) == dim // 2, (sections, dim)
-    idx = np.zeros((dim // 2,), dtype=np.int32)
+    # static per-section slices: frequency band [start, start+sec) reads its
+    # stream's positions directly. (A take_along_axis formulation computed
+    # cos/sin for all 3 streams then gathered — the two gather fusions were
+    # 22 ms of the B=16 fused-S2 device profile, ~20x the cost of this.)
+    parts_c, parts_s = [], []
     start = 0
     for stream, sec in enumerate(sections):
-        idx[start : start + sec] = stream
+        ang = (position_ids[stream][..., None].astype(jnp.float32)
+               * inv[start : start + sec])  # (B, T, sec)
+        parts_c.append(jnp.cos(ang))
+        parts_s.append(jnp.sin(ang))
         start += sec
-    idx = jnp.asarray(idx)
-    take = lambda arr: jnp.take_along_axis(
-        jnp.moveaxis(arr, 0, -1),  # (B, T, dim/2, 3)
-        jnp.broadcast_to(idx[None, None, :, None], arr.shape[1:] + (1,)),
-        axis=-1,
-    )[..., 0]
-    cos_half = take(cos3)  # (B, T, dim/2)
-    sin_half = take(sin3)
+    cos_half = jnp.concatenate(parts_c, axis=-1)  # (B, T, dim/2)
+    sin_half = jnp.concatenate(parts_s, axis=-1)
     cos = jnp.concatenate([cos_half, cos_half], axis=-1)
     sin = jnp.concatenate([sin_half, sin_half], axis=-1)
     return cos.astype(dtype), sin.astype(dtype)

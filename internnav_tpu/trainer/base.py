@@ -100,6 +100,13 @@ class Trainer:
         self.opt_state = self.tx.init(self.params)
         self._train_step = None
         self._ckpt_mgr = None
+        if getattr(cfg.il, "use_ema", False):
+            from internnav_tpu.trainer.ema import ema_init, ema_update
+
+            self.ema_params = ema_init(self.params)
+            self._ema_update = jax.jit(ema_update, donate_argnums=(0,))
+        else:
+            self.ema_params = None
 
     # ------------------------------------------------------------ loss api
     def loss_fn(self, params, batch, rng) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -109,15 +116,44 @@ class Trainer:
     def build_train_step(self) -> Callable:
         if self._train_step is not None:
             return self._train_step
+        accum = max(int(getattr(self.cfg.il, "grad_accum_steps", 1)), 1)
 
-        def train_step(params, opt_state, batch, rng):
+        def grads_of(params, batch, rng):
             (loss, metrics), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 params, batch, rng
             )
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
             metrics = dict(metrics)
             metrics["loss"] = loss
+            return grads, metrics
+
+        def train_step(params, opt_state, batch, rng):
+            if accum == 1:
+                grads, metrics = grads_of(params, batch, rng)
+            else:
+                # batch arrives microbatch-stacked — (accum, mb, ...) leaves
+                # from shard_batch — and ONE optimizer step accumulates mean
+                # gradients over a lax.scan of microbatches (the HF
+                # gradient_accumulation_steps semantics the reference
+                # inherits, train_dual_system.sh:65). Gradient buffers live
+                # once (scan carry), so peak memory matches a single
+                # microbatch plus one grad tree.
+                def micro(i):
+                    return jax.tree_util.tree_map(lambda x: x[i], batch)
+
+                def body(carry, i):
+                    g_acc, m_acc = carry
+                    g, m = grads_of(params, micro(i), jax.random.fold_in(rng, i))
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                    m_acc = jax.tree_util.tree_map(jnp.add, m_acc, m)
+                    return (g_acc, m_acc), None
+
+                g0, m0 = grads_of(params, micro(0), jax.random.fold_in(rng, 0))
+                (g_sum, m_sum), _ = jax.lax.scan(
+                    body, (g0, m0), jnp.arange(1, accum))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+                metrics = jax.tree_util.tree_map(lambda m: m / accum, m_sum)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
             metrics["grad_norm"] = optax.global_norm(grads)
             return params, opt_state, metrics
 
@@ -132,12 +168,30 @@ class Trainer:
         axis_name = (self.cfg.mesh.fsdp_axis
                      if self.cfg.mesh.fsdp_axis in self.mesh.axis_names else "dp")
         n = self.mesh.shape[axis_name]
+        accum = max(int(getattr(self.cfg.il, "grad_accum_steps", 1)), 1)
 
         def put(x):
             if isinstance(x, (np.ndarray, np.generic, jnp.ndarray)):
+                a = self.batch_axis
+                if accum > 1:
+                    # microbatch-stack on the HOST so each (accum, mb, ...)
+                    # leaf shards its mb axis over dp with no in-graph
+                    # resharding: rows i*mb..(i+1)*mb-1 form microbatch i
+                    x = np.asarray(x)
+                    if x.ndim > a and x.shape[a] % (accum * n) == 0:
+                        mb = x.shape[a] // accum
+                        x = np.moveaxis(
+                            x.reshape(x.shape[:a] + (accum, mb) + x.shape[a + 1:]),
+                            a, 0)
+                    else:  # replicate per microbatch (scalars, odd dims)
+                        x = np.stack([x] * accum)
+                    spec = [None] * x.ndim
+                    if x.ndim > a + 1 and x.shape[a + 1] % n == 0:
+                        spec[a + 1] = axis_name
+                    return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
                 spec = [None] * x.ndim
-                if x.ndim > self.batch_axis and x.shape[self.batch_axis] % n == 0:
-                    spec[self.batch_axis] = axis_name
+                if x.ndim > a and x.shape[a] % n == 0:
+                    spec[a] = axis_name
                 return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
             return x
 
@@ -161,6 +215,9 @@ class Trainer:
                 self.params, self.opt_state, batch, sub
             )
             self.step += 1
+            if self.ema_params is not None:
+                self.ema_params = self._ema_update(
+                    self.ema_params, self.params, jnp.asarray(self.step))
             if self.step % self.cfg.il.log_interval_steps == 0:
                 # device sync only at log points (keeps steps async otherwise)
                 last = {k: float(v) for k, v in metrics.items()}
@@ -197,13 +254,13 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         mgr = self._manager()
-        mgr.save(
-            self.step,
-            args=ocp.args.Composite(
-                params=ocp.args.StandardSave(self.params),
-                opt_state=ocp.args.StandardSave(self.opt_state),
-            ),
-        )
+        items = {
+            "params": ocp.args.StandardSave(self.params),
+            "opt_state": ocp.args.StandardSave(self.opt_state),
+        }
+        if self.ema_params is not None:
+            items["ema_params"] = ocp.args.StandardSave(self.ema_params)
+        mgr.save(self.step, args=ocp.args.Composite(**items))
         mgr.wait_until_finished()
         # copy the experiment config into EACH step's checkpoint dir so every
         # checkpoint is standalone (reference CheckpointFormatCallback.on_save,
@@ -221,15 +278,27 @@ class Trainer:
         latest = mgr.latest_step()
         if latest is None:
             return False
-        restored = mgr.restore(
-            latest,
-            args=ocp.args.Composite(
-                params=ocp.args.StandardRestore(self.params),
-                opt_state=ocp.args.StandardRestore(self.opt_state),
-            ),
-        )
+        items = {
+            "params": ocp.args.StandardRestore(self.params),
+            "opt_state": ocp.args.StandardRestore(self.opt_state),
+        }
+        if self.ema_params is not None:
+            items["ema_params"] = ocp.args.StandardRestore(self.ema_params)
+        try:
+            restored = mgr.restore(latest, args=ocp.args.Composite(**items))
+        except Exception:
+            if "ema_params" not in items:
+                raise
+            # pre-EMA checkpoint: restore the rest, reseed EMA from params
+            items.pop("ema_params")
+            restored = mgr.restore(latest, args=ocp.args.Composite(**items))
+            from internnav_tpu.trainer.ema import ema_init
+
+            restored["ema_params"] = ema_init(restored["params"])
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
+        if self.ema_params is not None:
+            self.ema_params = restored["ema_params"]
         self.step = latest
         self.logger.info("resumed from checkpoint step %d", latest)
         return True

@@ -15,7 +15,10 @@ import jax.numpy as jnp
 
 
 def ema_init(params) -> Any:
-    return jax.tree_util.tree_map(lambda x: x, params)
+    # real copies, not aliases: the EMA tree is donated/updated in place by
+    # jitted ema_update, so sharing buffers with the live params would
+    # delete them
+    return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
 
 
 def ema_decay(step: jnp.ndarray, update_after_step: int = 0,

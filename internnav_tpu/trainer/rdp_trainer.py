@@ -20,6 +20,14 @@ class RDPTrainer(Trainer):
     batch_axis = 0
     stop_loss_alpha: float = 10.0
 
+    def __init__(self, cfg, policy, **kw):
+        # diffusion trainers keep an EMA of the params by default — the
+        # reference imports diffusion_policy's EMAModel (SURVEY §2.2);
+        # explicit il.use_ema=False opts out
+        if "use_ema" not in cfg.il.model_fields_set:
+            cfg.il.use_ema = True
+        super().__init__(cfg, policy, **kw)
+
     def loss_fn(self, params, batch, rng) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         obs = batch["observations"]
         B = obs["actions"].shape[0]

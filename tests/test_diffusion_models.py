@@ -155,3 +155,34 @@ def test_navdp_train_and_rank():
     assert pos.shape == (2, 4, P, 3)
     # ranked sets must be disjoint orderings of the same sample pool
     assert not np.allclose(np.asarray(pos[0, 0]), np.asarray(neg[0, 0]))
+
+
+def test_nextdit_num_samples_folding_matches_repeat():
+    """num_samples>1 (conditioning computed at batch B, samples folded into
+    the cross-attention query sequence) must equal the explicit
+    repeat-the-condition formulation row for row."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from internnav_tpu.model.basemodel.internvla_n1.nextdit import (
+        NextDiT,
+        NextDiTConfig,
+    )
+
+    cfg = dataclasses.replace(NextDiTConfig.tiny(), dtype=jnp.float32)
+    mod = NextDiT(cfg)
+    rs = np.random.RandomState(0)
+    B, ns, T, L = 2, 3, 8, 5
+    x = jnp.asarray(rs.randn(B * ns, T, cfg.dim), jnp.float32)
+    t = jnp.asarray([3.0, 7.0])
+    z = jnp.asarray(rs.randn(B, L, cfg.latent_embedding_size), jnp.float32)
+    mask = jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], bool)
+    params = mod.init(jax.random.PRNGKey(0), x, jnp.repeat(t, ns), 
+                      jnp.repeat(z, ns, axis=0), jnp.repeat(mask, ns, axis=0))["params"]
+    ref = mod.apply({"params": params}, x, jnp.repeat(t, ns),
+                    jnp.repeat(z, ns, axis=0), jnp.repeat(mask, ns, axis=0))
+    got = mod.apply({"params": params}, x, t, z, mask, num_samples=ns)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -102,3 +102,70 @@ def test_fsdp_sharding_covers_large_params():
     sh = fsdp_param_sharding(mesh, params)
     assert "dp" in str(sh["big"].spec)
     assert sh["small"].spec == jax.sharding.PartitionSpec()
+
+
+# -------------------------------------------------- grad accumulation / EMA
+class _ToyTrainer:
+    """Minimal Trainer subclass: quadratic loss, rng-independent (so
+    accumulated-vs-large-batch gradients are exactly comparable)."""
+
+    def __new__(cls, accum: int, use_ema: bool = False, tmp=None):
+        from types import SimpleNamespace
+
+        from internnav_tpu.trainer.base import Trainer
+
+        class Toy(Trainer):
+            def loss_fn(self, params, batch, rng):
+                pred = batch["x"] @ params["w"]
+                loss = jnp.mean((pred - batch["y"]) ** 2)
+                return loss, {"mse": loss}
+
+        cfg = ExpCfg(name="toy", mesh=MeshCfg(axes={"dp": 8}),
+                     output_dir=str(tmp) if tmp else "logs/toy")
+        cfg.il.grad_accum_steps = accum
+        cfg.il.use_ema = use_ema
+        cfg.il.lr = 1e-2
+        cfg.il.lr_schedule = "constant"
+        rs = np.random.RandomState(0)
+        policy = SimpleNamespace(params={"w": jnp.asarray(rs.randn(4, 3), jnp.float32)})
+        return Toy(cfg, policy, dataset=None, total_steps=10)
+
+
+def _toy_batch():
+    rs = np.random.RandomState(1)
+    return {"x": rs.randn(16, 4).astype(np.float32),
+            "y": rs.randn(16, 3).astype(np.float32)}
+
+
+def test_grad_accum_matches_large_batch():
+    """One optimizer step over 4 accumulated microbatches == one step over
+    the full batch (mean-loss semantics; reference inherits this from HF
+    TrainingArguments.gradient_accumulation_steps)."""
+    batch = _toy_batch()
+    t1 = _ToyTrainer(accum=1)
+    t4 = _ToyTrainer(accum=4)
+    rng = jax.random.PRNGKey(0)
+    p1, _, m1 = t1.build_train_step()(t1.params, t1.opt_state,
+                                      t1.shard_batch(batch), rng)
+    p4, _, m4 = t4.build_train_step()(t4.params, t4.opt_state,
+                                      t4.shard_batch(batch), rng)
+    np.testing.assert_allclose(np.asarray(p1["w"]), np.asarray(p4["w"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m4["grad_norm"]),
+                               rtol=1e-4)
+
+
+def test_ema_tracked_and_checkpointed(tmp_path):
+    t = _ToyTrainer(accum=1, use_ema=True, tmp=tmp_path)
+    t.dataset = [_toy_batch()] * 3
+    t.total_steps = 3
+    t.train(resume=False)
+    assert t.ema_params is not None
+    # power-warmup decay is ~0 at early steps: EMA hugs params but is a
+    # live tree that restores from the checkpoint
+    t2 = _ToyTrainer(accum=1, use_ema=True, tmp=tmp_path)
+    assert t2.maybe_restore()
+    np.testing.assert_allclose(np.asarray(t2.ema_params["w"]),
+                               np.asarray(t.ema_params["w"]), rtol=1e-6)
+    assert t2.step == 3
