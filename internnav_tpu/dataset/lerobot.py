@@ -124,7 +124,8 @@ class LeRobotEpisodeReader:
         for src, dst in mapping.items():
             if src in cols and dst not in out:
                 v = cols[src]
-                out[dst] = v[0] if dst == "instruction_text" and v.dtype == object else v
+                is_str = v.dtype.kind in ("O", "U", "S")
+                out[dst] = str(v[0]) if dst == "instruction_text" and is_str else v
         for k, v in cols.items():
             out.setdefault(k, v)
         return out

@@ -173,3 +173,31 @@ def get_rope_index_25(
         position_ids[:, b, attention_mask[b] == 1] = full[:, :n]
         rope_deltas[b, 0] = (full.max() + 1 if full.size else 0) - n
     return position_ids, rope_deltas
+
+
+def get_rope_index_2(
+    input_ids: np.ndarray,
+    image_grid_thw: Optional[np.ndarray],
+    video_grid_thw: Optional[np.ndarray] = None,
+    *,
+    spatial_merge_size: int = 2,
+    image_token_id: int = 151655,
+    video_token_id: int = 151656,
+    vision_start_token_id: int = 151652,
+    attention_mask: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Qwen2-VL 3-D rotary indices (reference rope2d.py:183 —
+    `get_rope_index_2`, selected by the trainer's Qwen2-VL model path,
+    internvla_n1_trainer.py:150).
+
+    Identical position walk to `get_rope_index_25` except video temporal
+    indices advance one per temporal grid — Qwen2-VL has no
+    second_per_grid_ts * tokens_per_second scaling."""
+    return get_rope_index_25(
+        input_ids, image_grid_thw, video_grid_thw,
+        spatial_merge_size=spatial_merge_size,
+        image_token_id=image_token_id, video_token_id=video_token_id,
+        vision_start_token_id=vision_start_token_id,
+        second_per_grid_ts=None, tokens_per_second=1.0,
+        attention_mask=attention_mask,
+    )

@@ -172,3 +172,55 @@ def test_realworld_env_with_stub_io():
     env.step([2])
     env.close()
     assert (0.4, 0.0) in commands and (0.0, 0.6) in commands
+
+
+def test_lerobot_writer_roundtrip(tmp_path):
+    """LeRobot WRITER (scripts/dataset_converters/store_to_lerobot.py;
+    reference vlnce2lerobot.py:128-620) round-trips through the
+    LerobotAsTrajStore reader: layout, parquet columns, video, meta."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    pytest.importorskip("pyarrow")
+    pytest.importorskip("cv2")
+    from scripts.dataset_converters.store_to_lerobot import LeRobotWriter
+
+    from internnav_tpu.dataset.lerobot import LerobotAsTrajStore
+
+    rs = np.random.RandomState(0)
+    eps = []
+    for i in range(2):
+        T = 6 + i
+        eps.append({
+            "rgb": rs.randint(0, 255, (T, 32, 48, 3)).astype(np.uint8),
+            "actions": rs.randint(0, 4, (T,)).astype(np.int64),
+            "positions": rs.randn(T, 3).astype(np.float32),
+            "yaws": rs.randn(T).astype(np.float32),
+            "instruction_text": f"walk to the chair {i}",
+        })
+    root = tmp_path / "lr"
+    w = LeRobotWriter(str(root), fps=5)
+    for ep in eps:
+        w.add_episode(ep)
+    w.finalize()
+
+    info = json.loads((root / "meta" / "info.json").read_text())
+    assert info["total_episodes"] == 2
+    assert info["total_frames"] == 13
+    assert info["codebase_version"] == "v2.1"
+    stats_lines = (root / "meta" / "episodes_stats.jsonl").read_text().splitlines()
+    assert len(stats_lines) == 2
+    assert "action" in json.loads(stats_lines[0])["stats"]
+
+    store = LerobotAsTrajStore(str(root))
+    assert len(store) == 2
+    for i, key in enumerate(store.keys()):
+        got = store.get_tree(key)
+        np.testing.assert_array_equal(got["actions"], eps[i]["actions"])
+        np.testing.assert_allclose(got["positions"],
+                                   eps[i]["positions"], atol=1e-6)
+        assert got["instruction_text"] == eps[i]["instruction_text"]
+        # mp4 is lossy: frames decode back at the right shape/count
+        assert got["rgb"].shape == eps[i]["rgb"].shape

@@ -273,3 +273,45 @@ def test_traj_latents_match_hf_full_prefill(hf_vlm):
 
     np.testing.assert_allclose(np.asarray(latents[0]), hf_latents[0],
                                atol=3e-4, rtol=3e-3)
+
+
+def test_get_rope_index_2_matches_hf_qwen2vl():
+    """get_rope_index_2 (the Qwen2-VL variant, reference rope2d.py:183)
+    against HF Qwen2VLModel.get_rope_index on mixed image+video prompts."""
+    from transformers.models.qwen2_vl.configuration_qwen2_vl import Qwen2VLConfig
+    from transformers.models.qwen2_vl.modeling_qwen2_vl import Qwen2VLModel
+
+    from internnav_tpu.ops.rope import get_rope_index_2
+
+    cfg = Qwen2VLConfig(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+        image_token_id=IMG_TOK, video_token_id=TRAJ_TOK,
+        vision_start_token_id=VS, vision_end_token_id=VE,
+        vision_config={"depth": 1, "embed_dim": 32, "hidden_size": 64,
+                       "num_heads": 4, "spatial_merge_size": 2},
+    )
+    hf = Qwen2VLModel(cfg)
+
+    rs = np.random.RandomState(3)
+    img_grid = np.asarray([[1, 4, 4], [1, 4, 4]])  # 4 merged tokens each
+    vid_grid = np.asarray([[2, 4, 4]])  # 8 merged tokens
+    ids = list(rs.randint(3, 490, size=4))
+    ids += [VS] + [IMG_TOK] * 4 + [VE]
+    ids += list(rs.randint(3, 490, size=3))
+    ids += [VS] + [TRAJ_TOK] * 8 + [VE]  # video run
+    ids += [VS] + [IMG_TOK] * 4 + [VE]
+    ids += list(rs.randint(3, 490, size=5))
+    ids = np.asarray(ids, np.int64)[None]
+
+    import torch as t
+
+    hf_pos, hf_delta = hf.get_rope_index(
+        t.tensor(ids), t.tensor(img_grid), t.tensor(vid_grid),
+        attention_mask=t.ones(ids.shape, dtype=t.long))
+    pos, delta = get_rope_index_2(
+        ids, img_grid, vid_grid, image_token_id=IMG_TOK,
+        video_token_id=TRAJ_TOK, vision_start_token_id=VS)
+    np.testing.assert_array_equal(pos, hf_pos.numpy())
+    np.testing.assert_array_equal(delta, hf_delta.numpy())
