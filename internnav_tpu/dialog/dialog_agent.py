@@ -67,7 +67,11 @@ class DialogAgent(Agent):
                 settings.get("system1", "nextdit_async"))
             policy = InternVLAN1Policy.build(n1_cfg)
         self.policy = policy
+        # npc_llm_fn: callable(prompt)->str — the reference phrases NPC
+        # answers with an OpenAI call (habitat_dialog_evaluator.py:37-120);
+        # inject any local LLM here, template answers are the fallback
         self.npc = npc or SimpleNPC(settings.get("goal_info", {}),
+                                    llm_fn=settings.get("npc_llm_fn"),
                                     max_questions=int(settings.get("max_questions", 3)))
         self.hfov = float(settings.get("hfov", 90.0))
         self.dialog_context = ""

@@ -141,3 +141,38 @@ def test_converter_roundtrip(tmp_path):
     assert len(lr) == 1
     ep = lr.get_tree("ep0000")
     assert ep["actions"].tolist() == [1, 1, 0]
+
+
+def test_npc_llm_hook_and_template_fallback():
+    """SimpleNPC answers through an injected LLM callable (the reference's
+    OpenAI path, habitat_dialog_evaluator.py:37-120) with templates as the
+    no-LLM fallback, and refuses past max_questions."""
+    from internnav_tpu.configs.agent import AgentCfg
+    from internnav_tpu.dialog.dialog_agent import DialogAgent
+    from internnav_tpu.dialog.npc import SimpleNPC
+
+    goal = {"object": "red chair", "room": "kitchen", "nearby": ["sink"]}
+    prompts = []
+
+    def fake_llm(prompt: str) -> str:
+        prompts.append(prompt)
+        return "Head to the kitchen, by the sink."
+
+    npc = SimpleNPC(goal, llm_fn=fake_llm, max_questions=2)
+    a1 = npc.answer("where is it?")
+    assert a1 == "Head to the kitchen, by the sink."
+    assert "red chair" in prompts[0] and "where is it?" in prompts[0]
+    npc.answer("which room?")
+    assert npc.answer("more?") == "I cannot answer any more questions."
+    assert len(npc.history) == 3
+
+    # template fallback (no llm_fn)
+    npc2 = SimpleNPC(goal)
+    assert "kitchen" in npc2.answer("which room is it in?")
+
+    # config injection through DialogAgent.model_settings
+    cfg = AgentCfg(agent_name="dialog", model_name="internvla_n1",
+                   model_settings={"goal_info": goal, "npc_llm_fn": fake_llm,
+                                   "max_questions": 5})
+    agent = DialogAgent(cfg)
+    assert agent.npc.llm_fn is fake_llm
