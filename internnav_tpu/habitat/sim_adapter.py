@@ -66,6 +66,54 @@ class FakeSim:
         return {"rgb": rgb, "depth": depth}
 
 
+class NavmeshFakeSim(FakeSim):
+    """FakeSim implementing the optional navmesh-follower protocol
+    (`snap_point` + `follow_toward`) the evaluator prefers when a sim
+    provides it — the reference's `pathfinder.snap_point` +
+    `ShortestPathFollower` semantics (habitat_vln_evaluator.py:663,
+    804-830). The walkable set is a corridor around the episode's
+    reference path: goals snap to the nearest point on that polyline, and
+    the follower greedily tracks the snapped goal."""
+
+    def __init__(self, rgb_hw=(224, 224), max_steps: int = 500,
+                 goal_radius: float = 0.25):
+        super().__init__(rgb_hw, max_steps)
+        self.goal_radius = goal_radius
+        self.snap_calls = 0
+        self.follow_calls = 0
+
+    def snap_point(self, gps) -> np.ndarray:
+        """Nearest point on the reference-path polyline (the navmesh)."""
+        self.snap_calls += 1
+        p = np.asarray(gps, np.float64)[:2]
+        path = np.asarray(self._ep.reference_path, np.float64)[:, :2]
+        if len(path) == 1:
+            return path[0]
+        best, best_d = path[0], np.inf
+        for a, b in zip(path[:-1], path[1:]):
+            ab = b - a
+            t = np.clip(np.dot(p - a, ab) / max(np.dot(ab, ab), 1e-9), 0, 1)
+            q = a + t * ab
+            d = np.linalg.norm(p - q)
+            if d < best_d:
+                best, best_d = q, d
+        return best
+
+    def follow_toward(self, goal_xy) -> int:
+        self.follow_calls += 1
+        goal = self.snap_point(goal_xy)
+        pos = self.position[:2]
+        d = goal - pos
+        if np.linalg.norm(d) < self.goal_radius:
+            return 0
+        heading = (np.arctan2(d[1], d[0]) - self.yaw + np.pi) % (2 * np.pi) - np.pi
+        if heading > TURN_RAD / 2:
+            return 2
+        if heading < -TURN_RAD / 2:
+            return 3
+        return 1
+
+
 class HabitatSimAdapter:
     """Wraps habitat.Env (only importable when habitat is installed)."""
 
@@ -110,6 +158,12 @@ class HabitatSimAdapter:
         name = self.LOOK_ACTIONS.get(int(action)) or self.BASE_ACTIONS.get(int(action), "stop")
         self._obs = self._env.step(name)
         return dict(self._obs)
+
+    def snap_point(self, gps) -> np.ndarray:
+        """Navmesh snap (reference habitat_vln_evaluator.py:663)."""
+        goal = np.asarray([gps[0], self.position[2], gps[1]])
+        snapped = np.asarray(self._env.sim.pathfinder.snap_point(goal))
+        return np.asarray([snapped[0], snapped[2]])
 
     def follow_toward(self, goal_xy) -> int:
         from habitat.tasks.nav.shortest_path_follower import ShortestPathFollower

@@ -242,3 +242,51 @@ def test_dialog_evaluator(tmp_path):
                                 episodes=eps)
     m = ev.eval()
     assert m["num_episodes"] == 1
+
+
+def test_system2_prefers_navmesh_follower(tmp_path):
+    """When the sim provides the navmesh protocol (snap_point +
+    follow_toward — reference pathfinder.snap_point + ShortestPathFollower,
+    habitat_vln_evaluator.py:663,804-830), system2 mode must route plans
+    through it instead of the greedy kinematic fallback."""
+    from internnav_tpu.configs import AgentCfg, EnvCfg, EvalCfg, TaskCfg
+    from internnav_tpu.env.episodes import Episode
+    from internnav_tpu.habitat.evaluator import HabitatVLNEvaluator
+    from internnav_tpu.habitat.sim_adapter import NavmeshFakeSim
+    from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Config
+    from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
+
+    eps = [Episode(
+        episode_id="nav0", trajectory_id="t", scene_id="s",
+        instruction_text="go to 30 40 then stop", instruction_tokens=None,
+        start_position=np.zeros(3), start_rotation=np.asarray([1, 0, 0, 0]),
+        reference_path=np.asarray([[0, 0, 0], [2, 0, 0], [2, 2, 0]], float),
+        geodesic_distance=4.0,
+    )]
+    sim = NavmeshFakeSim(rgb_hw=(56, 56), max_steps=12)
+    pol = InternVLAN1Policy.build(InternVLAN1Config.tiny("nextdit_async"))
+    cfg = EvalCfg(agent=AgentCfg(model_name="simple"),
+                  env=EnvCfg(env_type="fake"), task=TaskCfg(max_step=8),
+                  eval_type="habitat_vln", output_dir=str(tmp_path),
+                  eval_settings={"mode": "system2"})
+    ev = HabitatVLNEvaluator(cfg, sim=sim, episodes=eps, policy=pol)
+    metrics = ev.eval()
+    assert metrics["num_episodes"] == 1
+    # the tiny random policy emits SOME plan; whenever it emitted a pixel
+    # goal the navmesh follower must have been used
+    if sim.follow_calls:
+        assert sim.snap_calls >= sim.follow_calls
+    # deterministic routing check: _follower_action must go through the
+    # sim's navmesh follower, not the greedy fallback
+    sim.reset(eps[0])
+    before = sim.follow_calls
+    a = ev._follower_action(np.asarray([5.0, 0.0]))
+    assert sim.follow_calls == before + 1
+    assert a in (0, 1, 2, 3)
+
+    # snap_point projects onto the walkable polyline
+    sim.reset(eps[0])
+    snapped = sim.snap_point(np.asarray([1.0, 5.0]))
+    np.testing.assert_allclose(snapped, [2.0, 2.0], atol=1e-6)
+    snapped2 = sim.snap_point(np.asarray([1.0, -3.0]))
+    np.testing.assert_allclose(snapped2, [1.0, 0.0], atol=1e-6)
