@@ -147,3 +147,30 @@ def test_n1_trainer_step_and_freeze(tmp_path):
     l_after = np.array(jax.tree_util.tree_leaves(trainer.params["language_model"])[0])
     np.testing.assert_array_equal(v_init, v_after)  # frozen vision tower
     assert not np.allclose(l_init, l_after)  # trainable LLM updated
+
+
+@pytest.mark.slow
+def test_n1_finetune_entry_script(tmp_path):
+    """The config-driven finetune CLI (VERDICT r2 #4: reference torchrun
+    entry internvla_n1_trainer.py:125-239) assembles tokenizer/dataset/mesh/
+    trainer and trains end-to-end on the CPU mesh, including checkpointing."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from internnav_tpu.dataset.internvla_n1_dataset import (
+        write_synthetic_n1_dataset,
+    )
+    from scripts.train.train_n1 import main
+
+    store = write_synthetic_n1_dataset(str(tmp_path / "store.bin"),
+                                       n_episodes=2, T=6, hw=28)
+    out = str(tmp_path / "out")
+    metrics = main([
+        "--tiny", "--store", store, "--steps", "2", "--batch-size", "2",
+        "--max-len", "256", "--num-history", "2", "--grad-accum", "1",
+        "--output-dir", out, "--no-resume",
+    ])
+    assert np.isfinite(metrics["loss"])
+    # a checkpoint landed (orbax save on final step)
+    assert any(Path(out).rglob("*"), ), "no checkpoint written"
