@@ -86,7 +86,8 @@ NUM_SAMPLE_TRAJS = 32
 REF_SMALL_ACTIONS_PER_SEC = 6.7  # round-1 toy-config estimate (--small)
 
 
-def _full_n1_config(num_layers: int, weight_dtype: str = "bf16"):
+def _full_n1_config(num_layers: int, weight_dtype: str = "bf16",
+                    quant_group_size: int = None):
     """True Qwen2.5-VL-7B dims with a reduced decoder depth."""
     import jax.numpy as jnp
 
@@ -95,7 +96,8 @@ def _full_n1_config(num_layers: int, weight_dtype: str = "bf16"):
     from internnav_tpu.model.basemodel.internvla_n1.qwen_vision import QwenVisionConfig
 
     text = QwenTextConfig(num_hidden_layers=num_layers, dtype=jnp.bfloat16,
-                          weight_dtype=weight_dtype)
+                          weight_dtype=weight_dtype,
+                          quant_group_size=quant_group_size)
     vision = QwenVisionConfig(dtype=jnp.bfloat16)  # defaults are the real ViT
     return InternVLAN1Config(text=text, vision=vision, system1="nextdit_async")
 
@@ -444,6 +446,125 @@ def bench_full() -> dict:
     }
 
 
+def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
+                        group_size: int = None) -> dict:
+    """int8-vs-bf16 serving quality at true 7B width (VERDICT r2 #3).
+
+    Builds ONE random bf16 model at full width (reduced depth: the bf16 and
+    int8 trees must be co-resident in 16 GB HBM), quantizes its decoder
+    projections on-device with the SAME per-channel scheme the deployment
+    path uses (quantize_qwen_text_params_device == from_pretrained_torch's
+    quantizer), then runs N fixed prompts through both S2 stacks and both
+    S1 heads (identical rng) and reports: greedy-token agreement, first
+    divergence index, traj-latent deltas, and waypoint L2.
+
+    Caveat printed in detail: random N(0, 0.02) weights give near-uniform
+    logits, so argmax agreement here is a PESSIMISTIC lower bound vs a
+    trained checkpoint (whose top-1 margins are far larger than the
+    quantization perturbation). Depth is HBM-limited; per-layer error
+    compounds, so agreement at 28 layers is bounded below by these numbers
+    minus the (reported) per-layer divergence trend.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Model
+    from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
+    from internnav_tpu.model.basemodel.internvla_n1.qwen_text import (
+        quantize_qwen_text_params_device,
+    )
+
+    cfg_bf = _full_n1_config(num_layers, "bf16")
+    model_bf = InternVLAN1Model(cfg_bf)
+    params_bf = _random_bf16_params(model_bf, cfg_bf, IMAGE_HW)
+    pol_bf = InternVLAN1Policy(model_bf, params_bf, cfg_bf)
+
+    cfg_q = _full_n1_config(num_layers, "int8", quant_group_size=group_size)
+    params_q = dict(params_bf)  # vision/S1 subtrees shared (same arrays)
+    params_q["language_model"] = quantize_qwen_text_params_device(
+        params_bf["language_model"], group_size=group_size)
+    pol_q = InternVLAN1Policy(InternVLAN1Model(cfg_q), params_q, cfg_q)
+
+    instructions = [
+        "walk down the hallway past the kitchen then turn left",
+        "go straight through the door and stop at the sofa",
+        "turn right at the plant and wait near the staircase",
+        "exit the bedroom and move toward the dining table",
+        "follow the corridor to the end and stop by the window",
+        "enter the office and stand next to the bookshelf",
+    ]
+    rs = np.random.RandomState(7)
+    agree_num = agree_den = 0
+    first_div = []
+    latent_rel = []
+    waypoint_l2 = []
+    waypoint_rel = []
+
+    for i in range(n_prompts):
+        img = rs.randint(0, 255, (IMAGE_HW, IMAGE_HW, 3)).astype(np.uint8)
+        rgb2 = np.stack([img, img])[None]
+        instr = instructions[i % len(instructions)]
+        outs = {}
+        for name, pol in (("bf16", pol_bf), ("int8", pol_q)):
+            pol.tokenizer.eos_token_id = -7  # full decode budget both sides
+            pol.reset()
+            pol.rgb_list = [img] * 8
+            pol.episode_idx = 8
+            pol._rng = jax.random.PRNGKey(1000 + i)  # identical S1 noise
+            s2 = pol.s2_step(img, instr, max_new_tokens=DECODE_TOKENS)
+            latent = s2.output_latent
+            if latent is None:
+                latent = jnp.zeros((1, cfg_bf.n_query, cfg_bf.text.hidden_size),
+                                   jnp.bfloat16)
+            s1 = pol.s1_step_latent(rgb2, None, latent,
+                                    num_sample_trajs=NUM_SAMPLE_TRAJS)
+            outs[name] = {
+                "tokens": np.asarray(pol.last_gen_tokens),
+                "latent": np.asarray(latent, np.float32),
+                "traj": np.asarray(s1.trajectory, np.float32),
+            }
+
+        a, b = outs["bf16"], outs["int8"]
+        n = min(len(a["tokens"]), len(b["tokens"]))
+        same = a["tokens"][:n] == b["tokens"][:n]
+        agree_num += int(same.sum())
+        agree_den += n
+        first_div.append(int(np.argmax(~same)) if not same.all() else n)
+        lr = float(np.linalg.norm(a["latent"] - b["latent"]) /
+                   max(np.linalg.norm(a["latent"]), 1e-9))
+        latent_rel.append(lr)
+        wl = float(np.mean(np.linalg.norm(a["traj"] - b["traj"], axis=-1)))
+        waypoint_l2.append(wl)
+        waypoint_rel.append(float(
+            np.linalg.norm(a["traj"] - b["traj"]) /
+            max(np.linalg.norm(a["traj"]), 1e-9)))
+
+    agreement = agree_num / max(agree_den, 1)
+    return {
+        "metric": "int8_vs_bf16_serving_quality_7b_width",
+        "value": round(agreement, 4),
+        "unit": "greedy_token_agreement",
+        "vs_baseline": 1.0,
+        "detail": {
+            "num_layers": num_layers,
+            "group_size": group_size,
+            "n_prompts": n_prompts,
+            "decode_tokens": DECODE_TOKENS,
+            "token_agreement": round(agreement, 4),
+            "mean_first_divergence_tok": round(float(np.mean(first_div)), 2),
+            "traj_latent_rel_l2": round(float(np.mean(latent_rel)), 5),
+            "waypoint_mean_l2_m": round(float(np.mean(waypoint_l2)), 5),
+            "waypoint_rel_l2": round(float(np.mean(waypoint_rel)), 5),
+            "scheme": "per-output-channel symmetric int8 weight-only "
+                      "(deployment quantizer), shared random bf16 source "
+                      "weights, identical S1 rng",
+            "caveat": "random weights -> near-uniform logits: token "
+                      "agreement is a pessimistic lower bound vs a trained "
+                      "checkpoint; depth HBM-limited to both trees resident",
+        },
+    }
+
+
 def bench_small() -> dict:
     """Round-1 reduced-dimension smoke config (loop-efficiency tracking)."""
     import jax.numpy as jnp
@@ -504,6 +625,15 @@ def main() -> None:
                          "model)")
     ap.add_argument("--blocking", action="store_true",
                     help="single blocking cohort (no phase interleaving)")
+    ap.add_argument("--compare-quant", action="store_true",
+                    help="int8-vs-bf16 quality: greedy-token agreement + "
+                         "waypoint L2 on shared weights at 7B width")
+    ap.add_argument("--quant-layers", type=int, default=12,
+                    help="decoder depth for --compare-quant (both trees "
+                         "must fit in HBM together)")
+    ap.add_argument("--quant-group", type=int, default=0,
+                    help="per-group(g) int8 scales for --compare-quant "
+                         "(0 = per-output-channel)")
     ap.add_argument("--cohorts", type=int, default=3,
                     help="number of phase-interleaved cohorts. The DEFAULT "
                          "mode is pipelined multi-cohort serving — the "
@@ -520,6 +650,9 @@ def main() -> None:
 
     if args.small:
         result = bench_small()
+    elif args.compare_quant:
+        result = bench_compare_quant(args.quant_layers,
+                                     group_size=args.quant_group or None)
     elif args.int8:
         result = bench_int8()
     elif args.bf16:

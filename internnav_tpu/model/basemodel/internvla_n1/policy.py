@@ -438,6 +438,7 @@ class InternVLAN1Policy:
             jnp.asarray(pos_ids), jnp.asarray(rope_deltas[:, 0]),
         )
         gen = np.asarray(tokens)[0][: int(np.asarray(lengths)[0])]
+        self.last_gen_tokens = gen
         self.llm_output = self.tokenizer.decode(gen)
 
         out = S2Output()
@@ -525,6 +526,7 @@ class InternVLAN1Policy:
         )
         tokens_h, lengths_h, latents = jax.device_get(tokens), jax.device_get(lengths), latents
         gen = np.asarray(tokens_h)[0][: int(np.asarray(lengths_h)[0])]
+        self.last_gen_tokens = gen
         self.llm_output = self.tokenizer.decode(gen)
         out = S2Output()
         if re.search(r"\d", self.llm_output):

@@ -49,6 +49,10 @@ class QwenTextConfig:
     #: decode of a 7B is HBM-bound on weight reads; int8 halves the bytes
     #: AND lets the full 28-layer model stay resident in a v5e's 16 GB.
     weight_dtype: str = "bf16"
+    #: int8 scale granularity: None = per-output-channel; an int (e.g. 128)
+    #: = per-(input-group x output-channel) scales, ~halving weight quant
+    #: error for +G*N*4 bytes of scales (~2% of the weight stream at G=28)
+    quant_group_size: Any = None
 
     @classmethod
     def tiny(cls) -> "QwenTextConfig":
@@ -68,6 +72,10 @@ class QuantDense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
+    #: None = per-output-channel scales; int g = per-(g-input-group x
+    #: output-channel) scales (VERDICT r2 #3: finer scales when per-channel
+    #: agreement is insufficient)
+    group_size: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -77,18 +85,35 @@ class QuantDense(nn.Module):
             lambda key, shape: jax.random.randint(key, shape, -127, 128, jnp.int8),
             (in_f, self.features),
         )
-        scale = self.param("scale_q", nn.initializers.constant(0.01),
-                           (self.features,))
         xf = x.astype(jnp.float32)
         amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
         a_scale = jnp.maximum(amax, 1e-8) / 127.0
         xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
-        y32 = jax.lax.dot_general(
-            xq, kernel_q,
-            (((xq.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        y = y32.astype(jnp.float32) * a_scale * scale
+        if self.group_size and in_f % int(self.group_size) == 0:
+            g = int(self.group_size)
+            G = in_f // g
+            scale = self.param("scale_q", nn.initializers.constant(0.01),
+                               (G, self.features))
+            # (..., G, g) x (G, g, N) batched over G: each group contracts
+            # exactly one 128-wide MXU pass, scaled per (group, channel)
+            xg = xq.reshape(xq.shape[:-1] + (G, g))
+            kg = kernel_q.reshape(G, g, self.features)
+            y32 = jax.lax.dot_general(
+                xg, kg,
+                (((xg.ndim - 1,), (1,)), ((xg.ndim - 2,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # (G, ..., N)
+            sg = scale.reshape((G,) + (1,) * (y32.ndim - 2) + (self.features,))
+            y = (y32.astype(jnp.float32) * sg).sum(axis=0) * a_scale
+        else:
+            scale = self.param("scale_q", nn.initializers.constant(0.01),
+                               (self.features,))
+            y32 = jax.lax.dot_general(
+                xq, kernel_q,
+                (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = y32.astype(jnp.float32) * a_scale * scale
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(jnp.float32)
@@ -98,7 +123,9 @@ class QuantDense(nn.Module):
 def _proj(cfg: QwenTextConfig, features: int, use_bias: bool, name: str):
     """Dense or QuantDense per cfg.weight_dtype."""
     if cfg.weight_dtype == "int8":
-        return QuantDense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+        return QuantDense(features, use_bias=use_bias, dtype=cfg.dtype,
+                          group_size=getattr(cfg, "quant_group_size", None),
+                          name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
 
 
@@ -117,6 +144,58 @@ def quantize_qwen_text_params(params: Dict, per_channel_axis: int = 0) -> Dict:
                     s = np.where(s == 0, 1e-8, s)
                     q = np.clip(np.round(w / s[None]), -127, 127).astype(np.int8)
                     new = {"kernel_q": q, "scale_q": s.astype(np.float32)}
+                    if "bias" in v:
+                        new["bias"] = v["bias"]
+                    out[k] = new
+                else:
+                    out[k] = convert(v)
+            else:
+                out[k] = v
+        return out
+
+    return convert(params)
+
+
+def quantize_qwen_text_params_device(params: Dict,
+                                     group_size: int = None) -> Dict:
+    """Same math as quantize_qwen_text_params but jitted on-device — for
+    quantizing an already-resident bf16 tree without a round trip over the
+    (slow) host link. Leaves the source tree intact so bf16-vs-int8
+    comparisons can share the same underlying weights. group_size=g emits
+    per-(input-group x output-channel) scales (G, N) matching
+    QuantDense(group_size=g); kernels whose input dim g doesn't divide
+    fall back to per-channel, exactly as QuantDense does."""
+    import jax
+
+    @jax.jit
+    def q(w):
+        w32 = w.astype(jnp.float32)
+        s = jnp.max(jnp.abs(w32), axis=0) / 127.0
+        s = jnp.where(s == 0, 1e-8, s)
+        qk = jnp.clip(jnp.round(w32 / s[None]), -127, 127).astype(jnp.int8)
+        return qk, s
+
+    @jax.jit
+    def q_grouped(w):
+        K, N = w.shape
+        g = int(group_size)
+        w32 = w.astype(jnp.float32).reshape(K // g, g, N)
+        s = jnp.max(jnp.abs(w32), axis=1) / 127.0  # (G, N)
+        s = jnp.where(s == 0, 1e-8, s)
+        qk = jnp.clip(jnp.round(w32 / s[:, None]), -127, 127)
+        return qk.astype(jnp.int8).reshape(K, N), s
+
+    def convert(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "kernel" in v and k != "embed_tokens":
+                    w = v["kernel"]
+                    if group_size and w.shape[0] % int(group_size) == 0:
+                        qk, s = q_grouped(w)
+                    else:
+                        qk, s = q(w)
+                    new = {"kernel_q": qk, "scale_q": s}
                     if "bias" in v:
                         new["bias"] = v["bias"]
                     out[k] = new
