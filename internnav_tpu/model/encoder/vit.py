@@ -55,7 +55,13 @@ class DinoViT(nn.Module):
     final_norm: bool = True
 
     @nn.compact
-    def __call__(self, pixels, return_cls: bool = False):
+    def __call__(self, pixels, return_cls: bool = False,
+                 intermediates: Optional[Sequence[int]] = None):
+        """intermediates: block indices — returns a list of
+        (patch_tokens, cls_token) per index with the final norm applied to
+        each, matching DINOv2 get_intermediate_layers(..., norm=True,
+        return_class_token=True) (dinov2.py:272-283,298-316) as the DPT
+        depth head consumes it (dpt.py:181)."""
         B, H, W, C = pixels.shape
         x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size), name="patch_embed")(pixels)
@@ -66,10 +72,18 @@ class DinoViT(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, 1 + P_h * P_w, self.dim))
         x = x + pos
+        taken = []
         for i in range(self.depth):
             x = DinoBlock(self.dim, self.heads, name=f"block_{i}")(x)
+            if intermediates is not None and i in intermediates:
+                taken.append(x)
+        norm = nn.LayerNorm(epsilon=1e-6, name="norm") if (
+            self.final_norm or intermediates is not None) else None
+        if intermediates is not None:
+            outs = [norm(t) for t in taken]
+            return [(t[:, 1:], t[:, 0]) for t in outs]
         if self.final_norm:
-            x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+            x = norm(x)
         if return_cls:
             return x[:, 1:], x[:, 0]
         return x[:, 1:]  # patch tokens only (get_intermediate_layers semantics)

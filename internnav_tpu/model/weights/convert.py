@@ -267,6 +267,71 @@ def convert_dinov2_vits(sd: Dict[str, np.ndarray], prefix: str = "pretrained.") 
     return unflatten(p)
 
 
+def interpolate_dino_pos_embed(pos: np.ndarray, grid_hw,
+                               offset: float = 0.1) -> np.ndarray:
+    """Resize DINOv2 position embeddings (1, 1+N, D) to a target patch grid
+    exactly as the reference does at runtime (dinov2.py:180-211: bicubic in
+    scale-factor form with the +0.1 offset, antialias=False). Our DinoViT
+    holds a fixed-size pos table, so the resize happens once at conversion
+    time — torch is available there by construction."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+    n = patch_pos.shape[1]
+    s = int(math.sqrt(n))
+    h, w = grid_hw
+    if (h, w) == (s, s):
+        return pos
+    dim = pos.shape[-1]
+    t = torch.from_numpy(np.ascontiguousarray(patch_pos, np.float32))
+    t = t.reshape(1, s, s, dim).permute(0, 3, 1, 2)
+    t = F.interpolate(t, scale_factor=((h + offset) / s, (w + offset) / s),
+                      mode="bicubic", antialias=False)
+    assert t.shape[-2:] == (h, w)
+    out = t.permute(0, 2, 3, 1).reshape(1, h * w, dim).numpy()
+    return np.concatenate([cls_pos.astype(np.float32), out], axis=1)
+
+
+def convert_depth_anything_v2(sd: Dict[str, np.ndarray],
+                              grid_hw=None) -> Dict:
+    """Full DepthAnythingV2 checkpoint (pretrained.* DINOv2 trunk +
+    depth_head.* DPT head, dpt.py:38-185) → encoder.dpt.DepthAnythingV2
+    params. ConvTranspose kernels map (I, O, kH, kW) → (kH, kW, O, I) for
+    flax transpose_kernel=True semantics."""
+    h = "depth_head."
+    flat: Dict[str, np.ndarray] = {}
+    for i in range(4):
+        t_conv(sd, f"{h}projects.{i}", f"project_{i}", flat, bias=True)
+    for i in (0, 1):
+        w = sd[f"{h}resize_layers.{i}.weight"]  # torch CT2d: (I, O, kH, kW)
+        flat[f"resize_{i}/kernel"] = np.ascontiguousarray(
+            w.transpose(2, 3, 1, 0))
+        flat[f"resize_{i}/bias"] = sd[f"{h}resize_layers.{i}.bias"]
+    t_conv(sd, f"{h}resize_layers.3", "resize_3", flat, bias=True)
+    for i in range(1, 5):
+        t_conv(sd, f"{h}scratch.layer{i}_rn", f"layer{i}_rn", flat, bias=False)
+    for i in range(1, 5):
+        rp = f"{h}scratch.refinenet{i}."
+        dp = f"refinenet{i}/"
+        t_conv(sd, rp + "out_conv", dp + "out_conv", flat, bias=True)
+        for j, nm in ((1, "res1"), (2, "res2")):
+            t_conv(sd, rp + f"resConfUnit{j}.conv1", dp + f"{nm}/conv1",
+                   flat, bias=True)
+            t_conv(sd, rp + f"resConfUnit{j}.conv2", dp + f"{nm}/conv2",
+                   flat, bias=True)
+    t_conv(sd, f"{h}scratch.output_conv1", "output_conv1", flat, bias=True)
+    t_conv(sd, f"{h}scratch.output_conv2.0", "output_conv2_0", flat, bias=True)
+    t_conv(sd, f"{h}scratch.output_conv2.2", "output_conv2_2", flat, bias=True)
+    trunk = convert_dinov2_vits(sd, "pretrained.")
+    if grid_hw is not None:
+        trunk["pos_embed"] = interpolate_dino_pos_embed(
+            np.asarray(trunk["pos_embed"]), grid_hw)
+    return {"pretrained": trunk, "depth_head": unflatten(flat)}
+
+
 # ------------------------------------------------------------------ generic
 def convert_gru(sd: Dict[str, np.ndarray], name: str) -> Dict[str, np.ndarray]:
     """torch GRU/LSTM layer-0 weights → ops.rnn param dict (same gate order)."""
