@@ -25,7 +25,13 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-sys.path.insert(0, "/root/reference")
+# APPEND (not insert): the reference repo has a regular `scripts`
+# package whose __init__.py would otherwise shadow this repo's
+# `scripts` package for every test that runs after this module
+# (PEP 420: a regular package anywhere on sys.path beats namespace
+# portions, and an earlier regular package beats a later one).
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 
 ref_arch = pytest.importorskip(
     "internnav.model.basemodel.internvla_n1.internvla_n1_arch")
