@@ -53,6 +53,19 @@ class QwenTextConfig:
     #: = per-(input-group x output-channel) scales, ~halving weight quant
     #: error for +G*N*4 bytes of scales (~2% of the weight stream at G=28)
     quant_group_size: Any = None
+    #: Activation dtype for the CACHED-DECODE matmuls when weight_dtype is
+    #: int8. "int8" (default): W8A8 everywhere — decode logits bit-match a
+    #: W8A8 re-prefill (the invariant tests/test_int8_decode.py pins).
+    #: "bf16": W8A16 decode — weights still stream as int8 (the convert
+    #: fuses into the dot's operand load) but activations skip the dynamic
+    #: per-token quantization. At decode shapes (M=16) the matmuls are
+    #: HBM/latency-bound, not MXU-bound, and the profile shows the W8A8
+    #: amax/round/clip fusions dominating the decode while-loop (~105 ms of
+    #: a 214 ms loop at B=16: ~2840 tiny f32[16] reductions at ~37 us of
+    #: fixed op overhead each). W8A16 removes them and is numerically
+    #: STRICTLY closer to the bf16 reference than W8A8. Prefill keeps W8A8:
+    #: it is MXU-bound and the int8 rate is ~2x bf16.
+    decode_act_dtype: str = "int8"
 
     @classmethod
     def tiny(cls) -> "QwenTextConfig":
@@ -78,42 +91,72 @@ class QuantDense(nn.Module):
     group_size: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, bf16_act: bool = False):
+        """bf16_act=True runs W8A16: the int8 weight is widened to bf16 AT
+        THE DOT (a fused operand convert — no dequantized weight copy is
+        materialized) and the activation is used as-is, skipping the
+        dynamic quantization. Used for the cached-decode matmuls (see
+        QwenTextConfig.decode_act_dtype): at M~16 they are latency-bound
+        and the per-call amax/round/clip fusions cost more than the dot."""
         in_f = x.shape[-1]
         kernel_q = self.param(
             "kernel_q",
             lambda key, shape: jax.random.randint(key, shape, -127, 128, jnp.int8),
             (in_f, self.features),
         )
-        xf = x.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-        a_scale = jnp.maximum(amax, 1e-8) / 127.0
-        xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
-        if self.group_size and in_f % int(self.group_size) == 0:
+        grouped = bool(self.group_size) and in_f % int(self.group_size) == 0
+        if grouped:
             g = int(self.group_size)
             G = in_f // g
             scale = self.param("scale_q", nn.initializers.constant(0.01),
                                (G, self.features))
-            # (..., G, g) x (G, g, N) batched over G: each group contracts
-            # exactly one 128-wide MXU pass, scaled per (group, channel)
-            xg = xq.reshape(xq.shape[:-1] + (G, g))
-            kg = kernel_q.reshape(G, g, self.features)
-            y32 = jax.lax.dot_general(
-                xg, kg,
-                (((xg.ndim - 1,), (1,)), ((xg.ndim - 2,), (0,))),
-                preferred_element_type=jnp.int32,
-            )  # (G, ..., N)
-            sg = scale.reshape((G,) + (1,) * (y32.ndim - 2) + (self.features,))
-            y = (y32.astype(jnp.float32) * sg).sum(axis=0) * a_scale
         else:
             scale = self.param("scale_q", nn.initializers.constant(0.01),
                                (self.features,))
-            y32 = jax.lax.dot_general(
-                xq, kernel_q,
-                (((xq.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            y = y32.astype(jnp.float32) * a_scale * scale
+        if bf16_act:
+            xb = x.astype(jnp.bfloat16)
+            kb = kernel_q.astype(jnp.bfloat16)
+            if grouped:
+                xg = xb.reshape(xb.shape[:-1] + (G, g))
+                kg = kb.reshape(G, g, self.features)
+                yg = jax.lax.dot_general(
+                    xg, kg,
+                    (((xg.ndim - 1,), (1,)), ((xg.ndim - 2,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (G, ..., N)
+                sg = scale.reshape((G,) + (1,) * (yg.ndim - 2) + (self.features,))
+                y = (yg * sg).sum(axis=0)
+            else:
+                y = jax.lax.dot_general(
+                    xb, kb,
+                    (((xb.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+        else:
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            a_scale = jnp.maximum(amax, 1e-8) / 127.0
+            xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+            if grouped:
+                # (..., G, g) x (G, g, N) batched over G: each group
+                # contracts exactly one 128-wide MXU pass, scaled per
+                # (group, channel)
+                xg = xq.reshape(xq.shape[:-1] + (G, g))
+                kg = kernel_q.reshape(G, g, self.features)
+                y32 = jax.lax.dot_general(
+                    xg, kg,
+                    (((xg.ndim - 1,), (1,)), ((xg.ndim - 2,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )  # (G, ..., N)
+                sg = scale.reshape((G,) + (1,) * (y32.ndim - 2) + (self.features,))
+                y = (y32.astype(jnp.float32) * sg).sum(axis=0) * a_scale
+            else:
+                y32 = jax.lax.dot_general(
+                    xq, kernel_q,
+                    (((xq.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = y32.astype(jnp.float32) * a_scale * scale
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(jnp.float32)
@@ -127,6 +170,18 @@ def _proj(cfg: QwenTextConfig, features: int, use_bias: bool, name: str):
                           group_size=getattr(cfg, "quant_group_size", None),
                           name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+
+
+def _apply_proj(mod, x, bf16_act: bool):
+    """Call a projection, passing the W8A16 switch only to QuantDense."""
+    if bf16_act and isinstance(mod, QuantDense):
+        return mod(x, bf16_act=True)
+    return mod(x)
+
+
+def _decode_bf16_act(cfg: QwenTextConfig) -> bool:
+    return (cfg.weight_dtype == "int8"
+            and getattr(cfg, "decode_act_dtype", "int8") == "bf16")
 
 
 def quantize_qwen_text_params(params: Dict, per_channel_axis: int = 0) -> Dict:
@@ -246,9 +301,10 @@ class QwenAttention(nn.Module):
         c = self.cfg
         B = x.shape[0]
         H, KV, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
-        q = _proj(c, H * D, True, "q_proj")(x)
-        k = _proj(c, KV * D, True, "k_proj")(x)
-        v = _proj(c, KV * D, True, "v_proj")(x)
+        ba = kv_cache is not None and _decode_bf16_act(c)
+        q = _apply_proj(_proj(c, H * D, True, "q_proj"), x, ba)
+        k = _apply_proj(_proj(c, KV * D, True, "k_proj"), x, ba)
+        v = _apply_proj(_proj(c, KV * D, True, "v_proj"), x, ba)
 
         if kv_cache is None:
             T = x.shape[1]
@@ -305,7 +361,7 @@ class QwenAttention(nn.Module):
             )
             out = out.transpose(0, 2, 1, 3).reshape(B, n, H * D)
             new_cache = (k_cache, v_cache)
-        out = _proj(c, c.hidden_size, False, "o_proj")(out)
+        out = _apply_proj(_proj(c, c.hidden_size, False, "o_proj"), out, ba)
         return out, new_cache
 
 
@@ -335,13 +391,14 @@ class QwenMLP(nn.Module):
     cfg: QwenTextConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, bf16_act: bool = False):
         c = self.cfg
-        gate = _proj(c, c.intermediate_size, False, "gate_proj")(x)
-        up = _proj(c, c.intermediate_size, False, "up_proj")(x)
-        return _proj(c, c.hidden_size, False, "down_proj")(
-            nn.silu(gate) * up
-        )
+        gate = _apply_proj(_proj(c, c.intermediate_size, False, "gate_proj"),
+                           x, bf16_act)
+        up = _apply_proj(_proj(c, c.intermediate_size, False, "up_proj"),
+                         x, bf16_act)
+        return _apply_proj(_proj(c, c.hidden_size, False, "down_proj"),
+                           nn.silu(gate) * up, bf16_act)
 
 
 class QwenDecoderLayer(nn.Module):
@@ -355,7 +412,8 @@ class QwenDecoderLayer(nn.Module):
         )
         x = x + h
         y = QwenMLP(self.cfg, name="mlp")(
-            RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x)
+            RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x),
+            bf16_act=kv_cache is not None and _decode_bf16_act(self.cfg),
         )
         return x + y, new_cache
 
@@ -416,11 +474,12 @@ class QwenTextModel(nn.Module):
             logits = self._logits(hidden)
         return logits, hidden, (caches if return_cache else None)
 
-    def _logits(self, hidden):
+    def _logits(self, hidden, *, decode: bool = False):
         if self.cfg.tie_word_embeddings:
             table = self.embed_tokens.embedding
             return (hidden.astype(jnp.float32) @ table.T.astype(jnp.float32))
-        return self.lm_head(hidden).astype(jnp.float32)
+        return _apply_proj(self.lm_head, hidden,
+                           decode and _decode_bf16_act(self.cfg)).astype(jnp.float32)
 
     def decode_step(self, token_embeds, position_ids, caches, cache_len,
                     compute_logits: bool = True):
@@ -437,7 +496,8 @@ class QwenTextModel(nn.Module):
             x, c2 = layer(x, cos, sin, kv_cache=cache, cache_len=cache_len)
             new_caches.append(c2)
         hidden = self.norm(x)
-        logits = self._logits(hidden)[:, 0] if compute_logits else None
+        logits = (self._logits(hidden, decode=True)[:, 0]
+                  if compute_logits else None)
         return logits, hidden[:, 0], new_caches
 
     def decode_chunk(self, token_embeds, position_ids, caches, cache_len):
@@ -539,7 +599,7 @@ def greedy_generate(
         logits = jax.lax.cond(
             need_logits,
             lambda h: model.apply({"params": params},
-                                  method=lambda mdl: mdl._logits(h)),
+                                  method=lambda mdl: mdl._logits(h, decode=True)),
             lambda h: jnp.zeros((B, model.cfg.vocab_size), jnp.float32),
             hidden,
         )

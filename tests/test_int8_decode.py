@@ -105,3 +105,93 @@ def test_grouped_scales_quantdense_parity():
     err = float(np.abs(np.asarray(y) - np.asarray(x_odd @ w_odd)).max()
                 / np.abs(np.asarray(x_odd @ w_odd)).max())
     assert err < 0.05
+
+
+def test_quantdense_bf16_act_w8a16():
+    """QuantDense(bf16_act=True) = W8A16: same int8 weights, no activation
+    quantization — exactly x_bf16 @ dequant(kernel) per output channel (and
+    per group for grouped scales)."""
+    from internnav_tpu.model.basemodel.internvla_n1.qwen_text import (
+        QuantDense,
+        quantize_qwen_text_params_device,
+    )
+
+    rs = np.random.RandomState(5)
+    K, N = 256, 48
+    w = jnp.asarray(rs.randn(K, N).astype(np.float32) * 0.05)
+    x = jnp.asarray(rs.randn(4, K).astype(np.float32))
+    for g in (None, 128):
+        tree = quantize_qwen_text_params_device({"p": {"kernel": w}},
+                                                group_size=g)["p"]
+        m = QuantDense(N, use_bias=False, dtype=jnp.float32, group_size=g)
+        y16 = np.asarray(m.apply({"params": dict(tree)}, x, bf16_act=True))
+        # manual W8A16: bf16 inputs, fp32 accumulation, per-(group,)channel
+        # scale applied after the dot
+        q = np.asarray(tree["kernel_q"], np.float32)
+        s = np.asarray(tree["scale_q"], np.float32)
+        xb = np.asarray(x.astype(jnp.bfloat16), np.float32)
+        qb = np.asarray(jnp.asarray(q).astype(jnp.bfloat16), np.float32)
+        if g is None:
+            ref = (xb @ qb) * s[None]
+        else:
+            G = K // g
+            ref = np.einsum("mgk,gkn->gmn", xb.reshape(4, G, g),
+                            qb.reshape(G, g, N))
+            ref = (ref * s[:, None]).sum(axis=0)
+        np.testing.assert_allclose(y16, ref, rtol=2e-2, atol=1e-4)
+        # and W8A16 tracks the unquantized matmul at least as well as W8A8
+        exact = np.asarray(x @ w)
+        y8 = np.asarray(m.apply({"params": dict(tree)}, x))
+        e16 = np.abs(y16 - exact).mean()
+        e8 = np.abs(y8 - exact).mean()
+        assert e16 <= e8 * 1.05  # no activation-quant error in W8A16
+
+
+def test_decode_act_dtype_bf16_tracks_bf16_model():
+    """decode_act_dtype='bf16' (serving config): cached-decode logits are
+    at least as close to the bf16 model as W8A8 decode, and the decode path
+    runs end to end through greedy_generate."""
+    cfg = QwenTextConfig.tiny()
+    model = QwenTextModel(cfg)
+    rng = jax.random.PRNGKey(1)
+    B, T = 2, 10
+    ids = jax.random.randint(rng, (B, T), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(T)[None, None], (3, B, T))
+    params = model.init(rng, ids, pos, method=model.init_all)["params"]
+    qparams = quantize_qwen_text_params(params)
+    embeds = model.apply({"params": params}, ids, method=model.embed)
+
+    def decode_logits(c, p):
+        m = QwenTextModel(c)
+        e = m.apply({"params": p}, ids, method=m.embed)
+        _, _, caches = m.apply({"params": p}, e, pos, return_cache=True)
+        from internnav_tpu.model.basemodel.internvla_n1.qwen_text import (
+            pad_caches,
+        )
+        caches = pad_caches(caches, T + 4)
+        tok = jnp.full((B, 1), 7, jnp.int32)
+        te = m.apply({"params": p}, tok, method=m.embed)
+        dpos = jnp.broadcast_to(jnp.full((B, 1), T)[None], (3, B, 1))
+        lg, _, _ = m.apply({"params": p}, te, dpos, caches,
+                           jnp.full((B,), T, jnp.int32),
+                           method=m.decode_step)
+        return np.asarray(lg)
+
+    ref = decode_logits(cfg, params)
+    lg8 = decode_logits(dataclasses.replace(cfg, weight_dtype="int8"), qparams)
+    lg16 = decode_logits(
+        dataclasses.replace(cfg, weight_dtype="int8",
+                            decode_act_dtype="bf16"), qparams)
+    e8 = np.abs(lg8 - ref).mean()
+    e16 = np.abs(lg16 - ref).mean()
+    assert e16 <= e8 * 1.05
+    assert np.abs(lg16 - ref).max() / (np.abs(ref).max() + 1e-9) < 0.15
+
+    # greedy_generate runs under the serving flag
+    qcfg = dataclasses.replace(cfg, weight_dtype="int8",
+                               decode_act_dtype="bf16")
+    qmodel = QwenTextModel(qcfg)
+    qembeds = qmodel.apply({"params": qparams}, ids, method=qmodel.embed)
+    toks, lengths = greedy_generate(qmodel, qparams, qembeds, pos,
+                                    max_new_tokens=5, eos_token_ids=(-7,))
+    assert toks.shape == (B, 5) and lengths.shape == (B,)
