@@ -469,7 +469,10 @@ class QwenTextModel(nn.Module):
         hidden = self.norm(x)
         if logits_indices is not None:
             sel = jnp.take_along_axis(hidden, logits_indices[:, None, None], axis=1)
-            logits = self._logits(sel)
+            # lm_head on the 2-d (B, D) slice: the (B, 1, D) 3-d form
+            # lowers to a ~20x slower fusion on TPU (14.6 ms vs 0.7 ms for
+            # the identical bytes in the decode loop's 2-d lm_head)
+            logits = self._logits(sel[:, 0])[:, None]
         else:
             logits = self._logits(hidden)
         return logits, hidden, (caches if return_cache else None)

@@ -180,10 +180,21 @@ class BatchedN1Policy:
     # ---------------------------------------------------------------- steps
     @staticmethod
     def _pow2_bucket(n: int) -> int:
+        """Smallest compute-batch bucket >= n from {2^k} U {3*2^k}.
+
+        The 3*2^k buckets (24, 48, 96...) matter for serving: per-program
+        decode time is nearly batch-independent (every token streams the
+        full decoder weights), so fewer cohorts with larger batches win —
+        and padding 24 -> 32 or 48 -> 64 would waste 33% of the
+        prefill/S1 compute, which IS batch-linear. Jit-cache size stays
+        O(log B)."""
         b = 1
-        while b < n:
+        while True:
+            if b >= n:
+                return b
+            if 3 * (b // 2) >= n and b >= 2:
+                return 3 * (b // 2)
             b *= 2
-        return b
 
     def s2_submit(self, images: np.ndarray, max_new_tokens: int = 128,
                   slot_ids: Optional[List[int]] = None) -> Dict[str, Any]:

@@ -247,3 +247,33 @@ def test_serve_stream_matches_blocking_cycles(built):
                         max_new_tokens=4, num_sample_trajs=2, s1_calls=1,
                         on_cycle=on_cycle)
     assert got == want
+
+
+def test_3x2k_bucket_parity(built):
+    """B=3 takes the 3*2^k compute bucket (exactly 3, no padding) and B=5
+    pads to 6 — per-slot results must match the single-stream policy
+    regardless of the bucket chosen (padded rows are discarded)."""
+    cfg, single, _ = built
+    assert BatchedN1Policy._pow2_bucket(3) == 3
+    assert BatchedN1Policy._pow2_bucket(5) == 6
+    assert BatchedN1Policy._pow2_bucket(24) == 24
+    assert BatchedN1Policy._pow2_bucket(48) == 48
+
+    instr3 = INSTR + ["go straight past the table and stop at the plant"]
+    frames = {i: _frames(300 + i, 2) for i in range(3)}
+
+    ref = {}
+    for i in range(3):
+        single.reset()
+        for t in range(2):
+            single.s2_step(frames[i][t], instr3[i], max_new_tokens=6)
+        ref[i] = single.llm_output
+
+    b3 = BatchedN1Policy(single.model, single.params, cfg, batch_size=3,
+                         tokenizer=single.tokenizer)
+    b3.reset(instr3)
+    for t in range(2):
+        b3.s2_step(np.stack([frames[i][t] for i in range(3)]),
+                   max_new_tokens=6)
+    for i in range(3):
+        assert b3.slots[i].llm_output == ref[i], f"slot {i} diverged (B=3)"
