@@ -317,7 +317,8 @@ def bench_batched(batch: int) -> dict:
     }
 
 
-def bench_pipelined(batch: int, cohorts: int = 2) -> dict:
+def bench_pipelined(batch: int, cohorts: int = 2,
+                    shared_decode: bool = False) -> dict:
     """Phase-interleaved multi-cohort serving (serving.PipelinedN1Server):
     while one cohort's host work runs (prompt build, uploads, token
     parsing, fetches), the other cohorts' device programs execute — async
@@ -361,7 +362,8 @@ def bench_pipelined(batch: int, cohorts: int = 2) -> dict:
         def stream(n):
             server.serve_stream(frames_fn, n, max_new_tokens=DECODE_TOKENS,
                                 num_sample_trajs=NUM_SAMPLE_TRAJS,
-                                s1_calls=2, on_cycle=on_cycle)
+                                s1_calls=2, on_cycle=on_cycle,
+                                shared_decode=shared_decode)
 
         for pol in server.cohorts:  # saturate history
             pol.reset([instruction] * batch)
@@ -434,6 +436,7 @@ def bench_pipelined(batch: int, cohorts: int = 2) -> dict:
         "detail": {
             "batch_size": batch,
             "cohorts": cohorts,
+            "shared_decode": shared_decode,
             "streams": batch * cohorts,
             "dims": "full 28-layer Qwen2.5-VL-7B resident, int8 weight-only "
                     "projections, bf16 activations/KV; independent episode "
@@ -691,6 +694,12 @@ def main() -> None:
     ap.add_argument("--quant-group", type=int, default=0,
                     help="per-group(g) int8 scales for --compare-quant "
                          "(0 = per-output-channel)")
+    ap.add_argument("--shared-decode", action="store_true",
+                    help="batch every cohort's greedy decode + traj-latent "
+                         "chunk into ONE grouped device program (one "
+                         "decoder weight stream per token serves all "
+                         "cohorts); per-slot results bit-identical to the "
+                         "per-cohort fused path")
     ap.add_argument("--cohorts", type=int, default=3,
                     help="number of phase-interleaved cohorts. The DEFAULT "
                          "mode is pipelined multi-cohort serving — the "
@@ -717,7 +726,8 @@ def main() -> None:
     elif args.blocking:
         result = bench_batched(args.batch)
     else:
-        result = bench_pipelined(args.batch, args.cohorts)
+        result = bench_pipelined(args.batch, args.cohorts,
+                                 shared_decode=args.shared_decode)
     print(json.dumps(result))
 
 

@@ -380,6 +380,80 @@ class InternVLAN1Policy:
 
         return jax.jit(fn)
 
+    # ---------------------------------------------------- split s2 (grouped)
+    def _prefill_s2_fn(self, max_new_tokens: int, n_q: int):
+        """Prefill-only half of `_fused_s2_fn`: vision encode → embed →
+        prefill → first greedy token. Returns (first_tok (B,), caches
+        padded to T + max_new_tokens + n_q). Paired with
+        `_grouped_tail_fn`, which decodes SEVERAL cohorts' prefill caches
+        in one program (one ~6.5 GB/token decoder weight stream serves
+        them all — decode device time is batch-independent, so G cohorts
+        decode for the price of one)."""
+        model = self.model
+        text_model = self.text_model
+
+        def fn(params, img_tokens, input_ids, pos_ids, prompt_len,
+               prompt_seg):
+            embeds = model.apply({"params": params}, input_ids, img_tokens,
+                                 method=model.embed_multimodal)
+            logits, _, caches = text_model.apply(
+                {"params": params["language_model"]}, embeds, pos_ids,
+                return_cache=True, segment_ids=prompt_seg,
+                logits_indices=prompt_len - 1,
+            )
+            from internnav_tpu.model.basemodel.internvla_n1.qwen_text import (
+                pad_caches,
+            )
+
+            T = input_ids.shape[1]
+            caches = pad_caches(caches, T + max_new_tokens + n_q)
+            first = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            return first, caches
+
+        return jax.jit(fn)
+
+    def _grouped_tail_fn(self, max_new_tokens: int, n_q: int):
+        """Greedy decode + traj-latent chunk over a LIST of prefill cache
+        trees (one per cohort) in one jitted program. Row-for-row
+        bit-identical to `_fused_s2_fn`'s decode+latents on each cohort
+        (tests/test_grouped_decode.py, tests/test_serving_shared_decode.py)."""
+        model = self.model
+        text_model = self.text_model
+        eos = (self.tokenizer.eos_token_id,)
+
+        from internnav_tpu.model.basemodel.internvla_n1.qwen_text import (
+            greedy_decode_grouped,
+        )
+
+        def fn(params, trees, first_tok, rope_deltas, prompt_len):
+            group_sizes = [t[0][0].shape[0] for t in trees]
+            offs = np.cumsum([0] + group_sizes)
+            tokens, lengths, trees2 = greedy_decode_grouped(
+                text_model, params["language_model"], first_tok, trees,
+                prompt_lengths=prompt_len, rope_deltas=rope_deltas,
+                max_new_tokens=max_new_tokens, eos_token_ids=eos,
+            )
+            B = first_tok.shape[0]
+            q_embeds = model.apply({"params": params},
+                                   method=model.traj_queries)
+            pos1 = (prompt_len + rope_deltas + lengths)[None, :, None] \
+                + jnp.arange(n_q)[None, None, :]
+            pos = jnp.broadcast_to(pos1, (3, B, n_q)).astype(jnp.int32)
+            e = jnp.broadcast_to(
+                q_embeds, (B, n_q, q_embeds.shape[-1])).astype(
+                    text_model.cfg.dtype)
+            cache_lens = [
+                prompt_len[offs[g]:offs[g + 1]] + lengths[offs[g]:offs[g + 1]]
+                for g in range(len(group_sizes))
+            ]
+            latents, _ = text_model.apply(
+                {"params": params["language_model"]}, e, pos, trees2,
+                cache_lens, method=text_model.decode_chunk_grouped,
+            )
+            return tokens, lengths, latents
+
+        return jax.jit(fn)
+
     # ---------------------------------------------------------------- steps
     def s2_step(self, image: np.ndarray, instruction: str,
                 look_down: bool = False, max_new_tokens: int = 128,

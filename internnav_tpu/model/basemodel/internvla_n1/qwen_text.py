@@ -293,18 +293,68 @@ class QwenAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, *, segment_ids=None, kv_cache=None,
-                 cache_len=None):
+                 cache_len=None, cache_groups=None, cache_len_groups=None):
         """Prefill when kv_cache is None: x (B, T, D) → (out, (k, v)).
         Decode when kv_cache=(k_cache, v_cache) with the new token already
         rotary-embedded and written at cache_len-1 by the caller; here we
-        compute and return updated caches."""
+        compute and return updated caches.
+
+        cache_groups=[(k, v), ...] + cache_len_groups=[(B_g,), ...] run a
+        GROUPED decode: x stacks the groups' rows (B_total = sum B_g) and
+        the projections run ONCE over the stack — one decoder weight
+        stream serves every group — while rotary/cache-write/attention run
+        per group against that group's own KV cache. Row-for-row identical
+        to separate per-group decode calls (each row's dot products and
+        attention touch only its own data); it exists so a serving
+        scheduler can decode several prefill cohorts in one program
+        (weights are the decode bottleneck: ~6.5 GB/token at 7B int8)."""
         c = self.cfg
         B = x.shape[0]
         H, KV, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
-        ba = kv_cache is not None and _decode_bf16_act(c)
+        ba = (kv_cache is not None or cache_groups is not None) \
+            and _decode_bf16_act(c)
         q = _apply_proj(_proj(c, H * D, True, "q_proj"), x, ba)
         k = _apply_proj(_proj(c, KV * D, True, "k_proj"), x, ba)
         v = _apply_proj(_proj(c, KV * D, True, "v_proj"), x, ba)
+
+        if cache_groups is not None:
+            from internnav_tpu.ops.flash_attention import (
+                gqa_chunk_decode_attention,
+                gqa_decode_attention,
+            )
+
+            n = x.shape[1]
+            q = q.reshape(B, n, H, D).transpose(0, 2, 1, 3)
+            k = k.reshape(B, n, KV, D).transpose(0, 2, 1, 3)
+            q, k = apply_rotary(q, k, cos, sin)
+            v = v.reshape(B, n, KV, D)
+            outs, new_groups = [], []
+            r = 0
+            for (kc, vc), cl in zip(cache_groups, cache_len_groups):
+                Bg = kc.shape[0]
+                qg = q[r:r + Bg]
+                kg = k[r:r + Bg].transpose(0, 2, 1, 3)  # (Bg, n, KV, D)
+                vg = v[r:r + Bg]
+                if n == 1:
+                    kc = _write_cache(kc, kg[:, 0], cl)
+                    vc = _write_cache(vc, vg[:, 0], cl)
+                    og = gqa_decode_attention(
+                        qg[:, :, 0], kc.transpose(0, 2, 1, 3),
+                        vc.transpose(0, 2, 1, 3), cl + 1,
+                    ).reshape(Bg, 1, H * D)
+                else:
+                    kc = _write_cache_chunk(kc, kg, cl)
+                    vc = _write_cache_chunk(vc, vg, cl)
+                    og = gqa_chunk_decode_attention(
+                        qg, kc.transpose(0, 2, 1, 3),
+                        vc.transpose(0, 2, 1, 3), cl,
+                    ).transpose(0, 2, 1, 3).reshape(Bg, n, H * D)
+                outs.append(og)
+                new_groups.append((kc, vc))
+                r += Bg
+            out = jnp.concatenate(outs, axis=0)
+            out = _apply_proj(_proj(c, c.hidden_size, False, "o_proj"), out, ba)
+            return out, new_groups
 
         if kv_cache is None:
             T = x.shape[1]
@@ -405,15 +455,19 @@ class QwenDecoderLayer(nn.Module):
     cfg: QwenTextConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, *, segment_ids=None, kv_cache=None, cache_len=None):
+    def __call__(self, x, cos, sin, *, segment_ids=None, kv_cache=None,
+                 cache_len=None, cache_groups=None, cache_len_groups=None):
         h, new_cache = QwenAttention(self.cfg, name="self_attn")(
             RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x),
-            cos, sin, segment_ids=segment_ids, kv_cache=kv_cache, cache_len=cache_len,
+            cos, sin, segment_ids=segment_ids, kv_cache=kv_cache,
+            cache_len=cache_len, cache_groups=cache_groups,
+            cache_len_groups=cache_len_groups,
         )
         x = x + h
+        decoding = kv_cache is not None or cache_groups is not None
         y = QwenMLP(self.cfg, name="mlp")(
             RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x),
-            bf16_act=kv_cache is not None and _decode_bf16_act(self.cfg),
+            bf16_act=decoding and _decode_bf16_act(self.cfg),
         )
         return x + y, new_cache
 
@@ -519,6 +573,46 @@ class QwenTextModel(nn.Module):
             x, c2 = layer(x, cos, sin, kv_cache=cache, cache_len=cache_len)
             new_caches.append(c2)
         return self.norm(x), new_caches
+
+    def decode_step_grouped(self, token_embeds, position_ids, cache_trees,
+                            cache_lens, compute_logits: bool = True):
+        """Grouped cached decode: one weight stream serves several cache
+        groups (serving cohorts). token_embeds (B_total, 1, D) stacks the
+        groups' rows in order; cache_trees is a list of per-group caches
+        (each a list of per-layer (k, v)); cache_lens a list of (B_g,).
+        Row-for-row identical to running decode_step per group."""
+        cos, sin = self._cos_sin(position_ids)
+        x = token_embeds
+        new_trees = [[] for _ in cache_trees]
+        for li, layer in enumerate(self.layers):
+            x, groups = layer(
+                x, cos, sin,
+                cache_groups=[t[li] for t in cache_trees],
+                cache_len_groups=cache_lens,
+            )
+            for gi, g in enumerate(groups):
+                new_trees[gi].append(g)
+        hidden = self.norm(x)
+        logits = (self._logits(hidden, decode=True)[:, 0]
+                  if compute_logits else None)
+        return logits, hidden[:, 0], new_trees
+
+    def decode_chunk_grouped(self, token_embeds, position_ids, cache_trees,
+                             cache_lens):
+        """Grouped `decode_chunk` (see decode_step_grouped): n chunk tokens
+        per row, one decoder weight stream for every group."""
+        cos, sin = self._cos_sin(position_ids)
+        x = token_embeds
+        new_trees = [[] for _ in cache_trees]
+        for li, layer in enumerate(self.layers):
+            x, groups = layer(
+                x, cos, sin,
+                cache_groups=[t[li] for t in cache_trees],
+                cache_len_groups=cache_lens,
+            )
+            for gi, g in enumerate(groups):
+                new_trees[gi].append(g)
+        return self.norm(x), new_trees
 
 
 def pad_caches(caches, max_len: int):
@@ -626,3 +720,82 @@ def greedy_generate(
     if return_caches:
         return tokens, lengths, caches
     return tokens, lengths
+
+
+def greedy_decode_grouped(
+    model: QwenTextModel,
+    params,
+    first_tok: jnp.ndarray,
+    cache_trees,
+    *,
+    prompt_lengths: jnp.ndarray,
+    rope_deltas: jnp.ndarray,
+    mrope: bool = True,
+    max_new_tokens: int = 128,
+    eos_token_ids: Tuple[int, ...] = (151645,),
+) -> Tuple[jnp.ndarray, jnp.ndarray, list]:
+    """Greedy decode over SEVERAL prefilled cache groups in one program.
+
+    Decode is weight-stream-bound (~6.5 GB/token at 7B int8, regardless of
+    batch), so decoding G prefill cohorts together costs ~1/G of the
+    per-cohort weight traffic. Inputs stack the groups' rows in order:
+    first_tok (B_total,) argmax of each row's prefill logits;
+    cache_trees: list of per-group caches already padded to
+    T + max_new_tokens (+ chunk slots); prompt_lengths/rope_deltas
+    (B_total,). Token stream per row is bit-identical to `greedy_generate`
+    on that row's own cohort — the while loop runs until every row of
+    every group is done (a finished row keeps emitting EOS, exactly like
+    the single-group loop's done-row freezing).
+
+    Returns (tokens (B_total, max_new_tokens), lengths, cache_trees)."""
+    group_sizes = [t[0][0].shape[0] for t in cache_trees]
+    B = int(sum(group_sizes))
+    assert first_tok.shape == (B,), (first_tok.shape, group_sizes)
+    eos = jnp.asarray(eos_token_ids)
+    prompt_lengths = prompt_lengths.astype(jnp.int32)
+    offs = np.cumsum([0] + group_sizes)
+
+    def body(state):
+        step, tokens, trees, done = state
+        cur = tokens[:, step]
+        done = done | jnp.isin(cur, eos)
+        embeds = model.apply({"params": params}, cur[:, None],
+                             method=model.embed)
+        pos1 = (prompt_lengths + rope_deltas + step).astype(jnp.int32)[None, :]
+        if mrope:
+            pos = jnp.broadcast_to(pos1[..., None], (3, B, 1))
+        else:
+            pos = pos1.reshape(B, 1)
+        cache_lens = [prompt_lengths[offs[g]:offs[g + 1]] + step
+                      for g in range(len(group_sizes))]
+        _, hidden, trees = model.apply(
+            {"params": params}, embeds, pos, trees, cache_lens,
+            compute_logits=False, method=model.decode_step_grouped)
+        # the last iteration only writes the final token's K/V for the
+        # latents path — skip its lm_head (same as greedy_generate)
+        need_logits = (step + 1 < max_new_tokens) & ~done.all()
+        logits = jax.lax.cond(
+            need_logits,
+            lambda h: model.apply({"params": params},
+                                  method=lambda mdl: mdl._logits(h, decode=True)),
+            lambda h: jnp.zeros((B, model.cfg.vocab_size), jnp.float32),
+            hidden,
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos[0], nxt)
+        tokens = tokens.at[:, step + 1].set(nxt)
+        return step + 1, tokens, trees, done
+
+    def cond(state):
+        step, tokens, _, done = state
+        return (step < max_new_tokens) & (~done.all())
+
+    tokens0 = jnp.full((B, max_new_tokens), eos[0], jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(first_tok.astype(jnp.int32))
+    done0 = jnp.zeros((B,), bool)
+    _, tokens, cache_trees, _ = jax.lax.while_loop(
+        cond, body, (0, tokens0, cache_trees, done0))
+    lengths = jnp.argmax(jnp.isin(tokens, eos), axis=1)
+    lengths = jnp.where(jnp.isin(tokens, eos).any(axis=1), lengths,
+                        max_new_tokens)
+    return tokens, lengths, cache_trees

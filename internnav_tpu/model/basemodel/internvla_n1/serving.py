@@ -196,6 +196,73 @@ class BatchedN1Policy:
                 return 3 * (b // 2)
             b *= 2
 
+    def _prep_group(self, rows: List[int], n_images: int, hw,
+                    frame_keys: Dict[int, list]) -> Dict[str, Any]:
+        """Host-side prompt/rope/token assembly for one history-length
+        group: ids + M-RoPE indices (memoized per slot), compute-bucket
+        padding, prompt-length bucket padding, image-token gather."""
+        inner = self.inner
+        cfg = self.cfg
+        h = hw[0] // cfg.vision.patch_size
+        w = hw[1] // cfg.vision.patch_size
+        ids_rows, pos_rows, deltas, tok_rows = [], [], [], []
+        for i in rows:
+            s = self.slots[i]
+            # prompt ids + M-RoPE indices depend only on
+            # (instruction, n_images, hw) — identical every step at the
+            # steady state, so memoize per slot (the numpy rope-index
+            # walk over B ~700-token rows was a visible host cost per
+            # macro-step)
+            pkey = (s.instruction, n_images, hw)
+            cached = s.prompt_cache.get(pkey)
+            if cached is None:
+                ids = inner._build_prompt_ids(s.instruction, n_images, hw)
+                grid = np.tile(np.asarray([[1, h, w]]), (n_images, 1))
+                pos, delta = get_rope_index_25(
+                    ids, grid,
+                    spatial_merge_size=cfg.vision.spatial_merge_size,
+                    image_token_id=cfg.image_token_index,
+                )
+                cached = (ids[0], np.asarray(pos)[:, 0],
+                          int(np.asarray(delta)[0, 0]))
+                s.prompt_cache = {pkey: cached}  # one live entry
+            ids_row, pos_row, delta_v = cached
+            ids_rows.append(ids_row)
+            pos_rows.append(pos_row)  # (3, P_i)
+            deltas.append(delta_v)
+            tok_rows.append([s.cache_get(k) for k in frame_keys[i]])
+
+        # pad the group to a bucketed compute batch (row 0 repeated)
+        Bg = self._pow2_bucket(len(rows))
+        while len(ids_rows) < Bg:
+            ids_rows.append(ids_rows[0])
+            pos_rows.append(pos_rows[0])
+            deltas.append(deltas[0])
+            tok_rows.append(tok_rows[0])
+
+        bucket = inner.PROMPT_BUCKET
+        p_max = max(len(r) for r in ids_rows)
+        T = -(-p_max // bucket) * bucket
+        eos = inner.tokenizer.eos_token_id
+        padded_ids = np.full((Bg, T), eos, np.int64)
+        padded_pos = np.zeros((3, Bg, T), np.int64)
+        prompt_seg = np.zeros((Bg, T), np.int32)
+        prompt_len = np.zeros((Bg,), np.int32)
+        for r, (ids, pos) in enumerate(zip(ids_rows, pos_rows)):
+            P = len(ids)
+            padded_ids[r, :P] = ids
+            padded_pos[:, r, :P] = pos
+            pad_pos = pos.max() + 1 + np.arange(T - P)
+            padded_pos[:, r, P:] = pad_pos
+            prompt_seg[r, P:] = 1
+            prompt_len[r] = P
+        img_tokens = jnp.concatenate(
+            [t for row in tok_rows for t in row], axis=0)
+        return dict(rows=rows, T=T, img_tokens=img_tokens,
+                    padded_ids=padded_ids, padded_pos=padded_pos,
+                    deltas=np.asarray(deltas, np.int32),
+                    prompt_len=prompt_len, prompt_seg=prompt_seg)
+
     def s2_submit(self, images: np.ndarray, max_new_tokens: int = 128,
                   slot_ids: Optional[List[int]] = None) -> Dict[str, Any]:
         """Host-prep + async dispatch of one S2 macro-step; returns a
@@ -222,84 +289,81 @@ class BatchedN1Policy:
             self.slots[i].episode_idx += 1
 
         hw = images.shape[1:3]
-        h = hw[0] // cfg.vision.patch_size
-        w = hw[1] // cfg.vision.patch_size
 
         # group rows by history length so image-token layout is uniform
         groups: Dict[int, List[int]] = {}
         for i in slot_ids:
             groups.setdefault(len(frame_keys[i]), []).append(i)
 
+        prepped = [self._prep_group(rows, n_images, hw, frame_keys)
+                   for n_images, rows in sorted(groups.items())]
+
         pending = []
-        for n_images, rows in sorted(groups.items()):
-            ids_rows, pos_rows, deltas, tok_rows = [], [], [], []
-            for i in rows:
-                s = self.slots[i]
-                # prompt ids + M-RoPE indices depend only on
-                # (instruction, n_images, hw) — identical every step at the
-                # steady state, so memoize per slot (the numpy rope-index
-                # walk over B ~700-token rows was a visible host cost per
-                # macro-step)
-                pkey = (s.instruction, n_images, hw)
-                cached = s.prompt_cache.get(pkey)
-                if cached is None:
-                    ids = inner._build_prompt_ids(s.instruction, n_images, hw)
-                    grid = np.tile(np.asarray([[1, h, w]]), (n_images, 1))
-                    pos, delta = get_rope_index_25(
-                        ids, grid,
-                        spatial_merge_size=cfg.vision.spatial_merge_size,
-                        image_token_id=cfg.image_token_index,
-                    )
-                    cached = (ids[0], np.asarray(pos)[:, 0],
-                              int(np.asarray(delta)[0, 0]))
-                    s.prompt_cache = {pkey: cached}  # one live entry
-                ids_row, pos_row, delta_v = cached
-                ids_rows.append(ids_row)
-                pos_rows.append(pos_row)  # (3, P_i)
-                deltas.append(delta_v)
-                tok_rows.append([s.cache_get(k) for k in frame_keys[i]])
-
-            # pad the group to a power-of-two compute batch (row 0 repeated)
-            Bg = self._pow2_bucket(len(rows))
-            while len(ids_rows) < Bg:
-                ids_rows.append(ids_rows[0])
-                pos_rows.append(pos_rows[0])
-                deltas.append(deltas[0])
-                tok_rows.append(tok_rows[0])
-
-            bucket = inner.PROMPT_BUCKET
-            p_max = max(len(r) for r in ids_rows)
-            T = -(-p_max // bucket) * bucket
-            eos = inner.tokenizer.eos_token_id
-            padded_ids = np.full((Bg, T), eos, np.int64)
-            padded_pos = np.zeros((3, Bg, T), np.int64)
-            prompt_seg = np.zeros((Bg, T), np.int32)
-            prompt_len = np.zeros((Bg,), np.int32)
-            for r, (ids, pos) in enumerate(zip(ids_rows, pos_rows)):
-                P = len(ids)
-                padded_ids[r, :P] = ids
-                padded_pos[:, r, :P] = pos
-                pad_pos = pos.max() + 1 + np.arange(T - P)
-                padded_pos[:, r, P:] = pad_pos
-                prompt_seg[r, P:] = 1
-                prompt_len[r] = P
-            img_tokens = jnp.concatenate(
-                [t for row in tok_rows for t in row], axis=0)
-
-            key = (f"fusedB_{padded_ids.shape}_{img_tokens.shape}_"
-                   f"{max_new_tokens}")
+        for g in prepped:
+            key = (f"fusedB_{g['padded_ids'].shape}_"
+                   f"{g['img_tokens'].shape}_{max_new_tokens}")
             if key not in inner._jit_cache:
                 inner._jit_cache[key] = inner._fused_s2_fn(
                     max_new_tokens, cfg.n_query)
             tokens, lengths, latents = inner._jit_cache[key](
-                inner.params, img_tokens, jnp.asarray(padded_ids),
-                jnp.asarray(padded_pos),
-                jnp.asarray(np.asarray(deltas, np.int32)),
-                jnp.asarray(prompt_len), jnp.asarray(prompt_seg),
+                inner.params, g["img_tokens"], jnp.asarray(g["padded_ids"]),
+                jnp.asarray(g["padded_pos"]), jnp.asarray(g["deltas"]),
+                jnp.asarray(g["prompt_len"]), jnp.asarray(g["prompt_seg"]),
             )
-            pending.append((rows, tokens, lengths, latents))
+            pending.append((g["rows"], tokens, lengths, latents))
         return {"pending": pending, "dev_imgs": dev_imgs,
                 "current_row": current_row, "slot_ids": slot_ids}
+
+    def s2_prefill_submit(self, images: np.ndarray,
+                          max_new_tokens: int = 128,
+                          slot_ids: Optional[List[int]] = None
+                          ) -> Dict[str, Any]:
+        """Prefill-only half of `s2_submit`: same host prep + uploads, but
+        dispatches `_prefill_s2_fn` per group and leaves the greedy decode
+        for a SHARED grouped-tail program (`PipelinedN1Server` with
+        shared_decode=True batches every cohort's decode into one weight
+        stream). The returned handle is completed by
+        `PipelinedN1Server._shared_decode`, after which `s2_collect`
+        consumes it unchanged."""
+        inner = self.inner
+        cfg = self.cfg
+        if slot_ids is None:
+            slot_ids = list(range(self.batch_size))
+        B = len(slot_ids)
+        assert images.shape[0] == B
+        dev_imgs = jnp.asarray(np.asarray(images, np.uint8))
+        current_row = {i: r for r, i in enumerate(slot_ids)}
+        for r, i in enumerate(slot_ids):
+            self.slots[i].rgb_list.append(np.asarray(images[r]))
+        frame_keys = {i: self._slot_frame_keys(self.slots[i])
+                      for i in slot_ids}
+        self._encode_new_frames(slot_ids, dev_imgs, current_row)
+        for i in slot_ids:
+            self.slots[i].episode_idx += 1
+        hw = images.shape[1:3]
+
+        groups: Dict[int, List[int]] = {}
+        for i in slot_ids:
+            groups.setdefault(len(frame_keys[i]), []).append(i)
+
+        pgroups = []
+        for n_images, rows in sorted(groups.items()):
+            g = self._prep_group(rows, n_images, hw, frame_keys)
+            key = (f"prefillB_{g['padded_ids'].shape}_"
+                   f"{g['img_tokens'].shape}_{max_new_tokens}")
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = inner._prefill_s2_fn(
+                    max_new_tokens, cfg.n_query)
+            first, caches = inner._jit_cache[key](
+                inner.params, g["img_tokens"], jnp.asarray(g["padded_ids"]),
+                jnp.asarray(g["padded_pos"]),
+                jnp.asarray(g["prompt_len"]), jnp.asarray(g["prompt_seg"]),
+            )
+            g.update(first=first, caches=caches)
+            pgroups.append(g)
+        return {"pgroups": pgroups, "dev_imgs": dev_imgs,
+                "current_row": current_row, "slot_ids": slot_ids,
+                "max_new_tokens": max_new_tokens}
 
     def s2_collect(self, handle: Dict[str, Any]) -> List[S2Output]:
         """Fetch + parse the results of an `s2_submit` (blocks on device)."""
@@ -600,9 +664,52 @@ class PipelinedN1Server:
             s1h = nxt
         return [(s2out[ci], s1res[ci]) for ci in range(n)]
 
+    def _shared_decode(self, handles: List[Dict[str, Any]]) -> None:
+        """Complete `s2_prefill_submit` handles with ONE grouped decode +
+        traj-latent program per (prompt-bucket T, max_new_tokens) set: the
+        greedy decode streams the full decoder weights once per token
+        REGARDLESS of batch, so decoding every cohort together costs ~1/G
+        of the per-cohort weight traffic (the decode while-loop is the
+        second-largest device phase after prefill). Each handle is
+        rewritten in place into the `s2_collect` format; per-row results
+        are bit-identical to the per-cohort fused path
+        (tests/test_serving_shared_decode.py)."""
+        inner = self.inner
+        buckets: Dict[tuple, list] = {}
+        for h in handles:
+            if "pgroups" not in h:
+                continue
+            for g in h["pgroups"]:
+                key = (g["T"], h["max_new_tokens"])
+                buckets.setdefault(key, []).append((h, g))
+        for (T, mnt), items in buckets.items():
+            trees = [g["caches"] for _, g in items]
+            first = jnp.concatenate([g["first"] for _, g in items])
+            deltas = jnp.concatenate(
+                [jnp.asarray(g["deltas"]) for _, g in items])
+            plen = jnp.concatenate(
+                [jnp.asarray(g["prompt_len"]) for _, g in items])
+            sizes = tuple(g["first"].shape[0] for _, g in items)
+            key = f"gtail_{T}_{sizes}_{mnt}"
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = inner._grouped_tail_fn(
+                    mnt, self.cfg.n_query)
+            tokens, lengths, latents = inner._jit_cache[key](
+                inner.params, trees, first, deltas, plen)
+            r = 0
+            for h, g in items:
+                Bg = g["first"].shape[0]
+                h.setdefault("pending", []).append(
+                    (g["rows"], tokens[r:r + Bg], lengths[r:r + Bg],
+                     latents[r:r + Bg]))
+                r += Bg
+        for h in handles:
+            h.pop("pgroups", None)
+
     def serve_stream(self, frames_fn, n_cycles: int,
                      max_new_tokens: int = 128, num_sample_trajs: int = 32,
-                     s1_calls: int = 2, on_cycle=None):
+                     s1_calls: int = 2, on_cycle=None,
+                     shared_decode: bool = False):
         """Continuous pipelined serving for n_cycles macro-cycles.
 
         Unlike `serve_macro_cycle`, cycle boundaries are pipelined too: as
@@ -620,8 +727,12 @@ class PipelinedN1Server:
         s1res: List[List[Any]] = [[] for _ in range(n)]
 
         def submit_s2(ci, t):
-            s2h[ci] = self.cohorts[ci].s2_submit(frames_fn(ci, t, 0),
-                                                 max_new_tokens)
+            if shared_decode:
+                s2h[ci] = self.cohorts[ci].s2_prefill_submit(
+                    frames_fn(ci, t, 0), max_new_tokens)
+            else:
+                s2h[ci] = self.cohorts[ci].s2_submit(frames_fn(ci, t, 0),
+                                                     max_new_tokens)
 
         def latents_of(ci):
             rows = []
@@ -637,6 +748,10 @@ class PipelinedN1Server:
         for ci in range(n):
             submit_s2(ci, 0)
         for t in range(n_cycles):
+            if shared_decode:
+                # every cohort's prefill for cycle t is dispatched; one
+                # grouped program decodes them all (async dispatch)
+                self._shared_decode(s2h)
             s1h = [None] * n
             for ci, pol in enumerate(self.cohorts):
                 s2out[ci] = pol.s2_collect(s2h[ci])
