@@ -302,6 +302,11 @@ class BatchedInternVLAN1Agent(Agent):
         self.num_sample_trajs = int(settings.get("num_sample_trajs", 32))
         self.states = [_DualState() for _ in range(self.batch_size)]
         self._instructions = [""] * self.batch_size
+        #: optional serving.SharedDecodePool — when set (by a multi-cohort
+        #: scheduler), S2 submits PREFILL-only programs and the pool
+        #: batches every cohort's greedy decode into one grouped program
+        #: (one decoder weight stream per token for all cohorts)
+        self.decode_pool = None
 
     # ------------------------------------------------------------ lifecycle
     def reset(self, reset_index: Optional[List[int]] = None) -> None:
@@ -354,10 +359,21 @@ class BatchedInternVLAN1Agent(Agent):
                   if self._should_infer_s2(st)]
         if s2_ids:
             imgs = np.stack([np.asarray(obs[i]["rgb"]) for i in s2_ids])
-            handle = self.policy.s2_submit(imgs,
-                                           max_new_tokens=self.max_new_tokens,
-                                           slot_ids=s2_ids)
-            yield  # device busy: S2 prefill+decode in flight
+            if self.decode_pool is not None:
+                handle = self.policy.s2_prefill_submit(
+                    imgs, max_new_tokens=self.max_new_tokens,
+                    slot_ids=s2_ids)
+                self.decode_pool.add(handle)
+                yield  # device busy: prefill in flight; pool gathers peers
+                # first cohort to resume dispatches the grouped decode for
+                # every pooled prefill (the scheduler has advanced all
+                # cohorts past their submit by now)
+                self.decode_pool.flush()
+            else:
+                handle = self.policy.s2_submit(
+                    imgs, max_new_tokens=self.max_new_tokens,
+                    slot_ids=s2_ids)
+                yield  # device busy: S2 prefill+decode in flight
             outs = self.policy.s2_collect(handle)
             for i, out in zip(s2_ids, outs):
                 self._consume_s2(self.states[i], out,

@@ -145,7 +145,30 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
             env = FakeEnv(cfg.env, cfg.task, episodes=shares[c])
             agent = self._make_cohort_agent(c)
             cohorts.append(_Cohort(c, env, agent, self.progress, self.store))
+        self._attach_decode_pool(cohorts)
         return cohorts
+
+    def _attach_decode_pool(self, cohorts: List["_Cohort"]) -> None:
+        """env_settings["shared_decode"]: batch every cohort's greedy S2
+        decode into one grouped device program (one decoder weight stream
+        per token serves all cohorts). Requires dual-system agents sharing
+        one BatchedN1Policy inner; silently skipped otherwise."""
+        settings = getattr(self.cfg.env, "env_settings", None) or {}
+        if not settings.get("shared_decode"):
+            return
+        agents = [c.agent for c in cohorts]
+        if not all(hasattr(a, "decode_pool")
+                   and hasattr(getattr(a, "policy", None), "inner")
+                   for a in agents):
+            return
+        from internnav_tpu.model.basemodel.internvla_n1.serving import (
+            SharedDecodePool,
+        )
+
+        inner = agents[0].policy.inner
+        pool = SharedDecodePool(inner, inner.cfg.n_query)
+        for a in agents:
+            a.decode_pool = pool
 
     def _make_cohort_agent(self, idx: int):
         """A new agent with its own slot state sharing the cohort-0

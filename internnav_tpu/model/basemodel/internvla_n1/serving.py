@@ -574,6 +574,71 @@ class BatchedN1Policy:
         return outs
 
 
+def shared_decode_handles(inner, n_query: int,
+                          handles: List[Dict[str, Any]]) -> None:
+    """Complete `s2_prefill_submit` handles with ONE grouped decode +
+    traj-latent program per (prompt-bucket T, max_new_tokens) set: the
+    greedy decode streams the full decoder weights once per token
+    REGARDLESS of batch, so decoding every cohort together costs ~1/G of
+    the per-cohort weight traffic (the decode while-loop is the
+    second-largest device phase after prefill). Each handle is rewritten
+    in place into the `s2_collect` format; per-row results are
+    bit-identical to the per-cohort fused path
+    (tests/test_serving_shared_decode.py)."""
+    buckets: Dict[tuple, list] = {}
+    for h in handles:
+        if "pgroups" not in h:
+            continue
+        for g in h["pgroups"]:
+            key = (g["T"], h["max_new_tokens"])
+            buckets.setdefault(key, []).append((h, g))
+    for (T, mnt), items in buckets.items():
+        trees = [g["caches"] for _, g in items]
+        first = jnp.concatenate([g["first"] for _, g in items])
+        deltas = jnp.concatenate(
+            [jnp.asarray(g["deltas"]) for _, g in items])
+        plen = jnp.concatenate(
+            [jnp.asarray(g["prompt_len"]) for _, g in items])
+        sizes = tuple(g["first"].shape[0] for _, g in items)
+        key = f"gtail_{T}_{sizes}_{mnt}"
+        if key not in inner._jit_cache:
+            inner._jit_cache[key] = inner._grouped_tail_fn(mnt, n_query)
+        tokens, lengths, latents = inner._jit_cache[key](
+            inner.params, trees, first, deltas, plen)
+        r = 0
+        for h, g in items:
+            Bg = g["first"].shape[0]
+            h.setdefault("pending", []).append(
+                (g["rows"], tokens[r:r + Bg], lengths[r:r + Bg],
+                 latents[r:r + Bg]))
+            r += Bg
+    for h in handles:
+        h.pop("pgroups", None)
+
+
+class SharedDecodePool:
+    """Cross-cohort grouped-decode coordinator for coroutine schedulers
+    (the vln_pipelined evaluator). Agents with a pool attached submit
+    PREFILL-only S2 programs and register the handles here; the first
+    agent to resume calls `flush()`, which dispatches one grouped
+    decode+latents program covering every pending cohort. Safe because
+    the scheduler advances all cohorts past their submit-yield before
+    resuming any of them (round-robin, one hop per pass)."""
+
+    def __init__(self, inner, n_query: int) -> None:
+        self.inner = inner
+        self.n_query = n_query
+        self.pending: List[Dict[str, Any]] = []
+
+    def add(self, handle: Dict[str, Any]) -> None:
+        self.pending.append(handle)
+
+    def flush(self) -> None:
+        if self.pending:
+            shared_decode_handles(self.inner, self.n_query, self.pending)
+            self.pending = []
+
+
 class PipelinedN1Server:
     """Double-buffered multi-cohort serving, single host thread.
 
@@ -665,46 +730,7 @@ class PipelinedN1Server:
         return [(s2out[ci], s1res[ci]) for ci in range(n)]
 
     def _shared_decode(self, handles: List[Dict[str, Any]]) -> None:
-        """Complete `s2_prefill_submit` handles with ONE grouped decode +
-        traj-latent program per (prompt-bucket T, max_new_tokens) set: the
-        greedy decode streams the full decoder weights once per token
-        REGARDLESS of batch, so decoding every cohort together costs ~1/G
-        of the per-cohort weight traffic (the decode while-loop is the
-        second-largest device phase after prefill). Each handle is
-        rewritten in place into the `s2_collect` format; per-row results
-        are bit-identical to the per-cohort fused path
-        (tests/test_serving_shared_decode.py)."""
-        inner = self.inner
-        buckets: Dict[tuple, list] = {}
-        for h in handles:
-            if "pgroups" not in h:
-                continue
-            for g in h["pgroups"]:
-                key = (g["T"], h["max_new_tokens"])
-                buckets.setdefault(key, []).append((h, g))
-        for (T, mnt), items in buckets.items():
-            trees = [g["caches"] for _, g in items]
-            first = jnp.concatenate([g["first"] for _, g in items])
-            deltas = jnp.concatenate(
-                [jnp.asarray(g["deltas"]) for _, g in items])
-            plen = jnp.concatenate(
-                [jnp.asarray(g["prompt_len"]) for _, g in items])
-            sizes = tuple(g["first"].shape[0] for _, g in items)
-            key = f"gtail_{T}_{sizes}_{mnt}"
-            if key not in inner._jit_cache:
-                inner._jit_cache[key] = inner._grouped_tail_fn(
-                    mnt, self.cfg.n_query)
-            tokens, lengths, latents = inner._jit_cache[key](
-                inner.params, trees, first, deltas, plen)
-            r = 0
-            for h, g in items:
-                Bg = g["first"].shape[0]
-                h.setdefault("pending", []).append(
-                    (g["rows"], tokens[r:r + Bg], lengths[r:r + Bg],
-                     latents[r:r + Bg]))
-                r += Bg
-        for h in handles:
-            h.pop("pgroups", None)
+        shared_decode_handles(self.inner, self.cfg.n_query, handles)
 
     def serve_stream(self, frames_fn, n_cycles: int,
                      max_new_tokens: int = 128, num_sample_trajs: int = 32,

@@ -199,3 +199,45 @@ def test_pipelined_evaluator_completes_all_episodes(tmp_path):
     assert metrics["num_episodes"] == 5.0, metrics
     for k in ("success", "spl", "osr", "NE", "ndtw"):
         assert k in metrics
+
+
+def test_pipelined_evaluator_shared_decode_matches(tmp_path):
+    """env_settings["shared_decode"]: the pooled grouped decode (one
+    decoder weight stream per token for all cohorts) must produce the
+    SAME per-episode results as the per-cohort fused path."""
+    from internnav_tpu.configs import (
+        AgentCfg, EnvCfg, EvalCfg, EvalDatasetCfg, TaskCfg,
+    )
+    from internnav_tpu.evaluator import Evaluator
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Config,
+    )
+    from tests.test_eval_e2e import make_episodes
+
+    def run(shared, out):
+        cfg = EvalCfg(
+            agent=AgentCfg(model_name="internvla_n1_batched",
+                           model_settings={"batch_size": 2,
+                                           "max_new_tokens": 4,
+                                           "num_sample_trajs": 2,
+                                           "config": InternVLAN1Config.tiny(
+                                               "nextdit_async")}),
+            env=EnvCfg(env_type="fake", env_num=2,
+                       env_settings={"rgb_resolution": [56, 56],
+                                     "depth_resolution": [56, 56],
+                                     "cohorts": 2,
+                                     "shared_decode": shared}),
+            task=TaskCfg(max_step=3),
+            dataset=EvalDatasetCfg(),
+            eval_type="vln_pipelined",
+            output_dir=str(tmp_path / out),
+        )
+        ev = Evaluator.init(cfg, episodes=make_episodes(5))
+        return ev.eval()
+
+    ref = run(False, "plain")
+    got = run(True, "shared")
+    drop = ("wall_clock_s",)
+    ref = {k: v for k, v in ref.items() if k not in drop}
+    got = {k: v for k, v in got.items() if k not in drop}
+    assert got == ref, (got, ref)
