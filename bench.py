@@ -359,11 +359,12 @@ def bench_pipelined(batch: int, cohorts: int = 2,
             for s in server.cohorts[ci].slots:
                 s.s1_mem_feats = None
 
-        def stream(n):
+        def stream(n, host_stats=None):
             server.serve_stream(frames_fn, n, max_new_tokens=DECODE_TOKENS,
                                 num_sample_trajs=NUM_SAMPLE_TRAJS,
                                 s1_calls=2, on_cycle=on_cycle,
-                                shared_decode=shared_decode)
+                                shared_decode=shared_decode,
+                                host_stats=host_stats)
 
         for pol in server.cohorts:  # saturate history
             pol.reset([instruction] * batch)
@@ -378,20 +379,28 @@ def bench_pipelined(batch: int, cohorts: int = 2,
         # (cycles inside a stream overlap at the boundaries, so per-cycle
         # timing would lie)
         best = float("inf")
-        for _ in range(3):
+        host_stats: dict = {}
+        for rep in range(3):
+            stats = host_stats if rep == 2 else None
             t0 = time.perf_counter()
-            stream(CYCLES)
+            stream(CYCLES, host_stats=stats)
+            if stats is not None:
+                host_stats["stream_wall_s"] = time.perf_counter() - t0
             best = min(best, time.perf_counter() - t0)
         aps_c = ACTIONS_PER_CYCLE * batch * n_cohorts * CYCLES / best
-        return aps_c, best, server.inner
+        return aps_c, best, server.inner, host_stats
 
     # cohort count is a serving-tuning knob: measure the requested count
     # and its neighbor (sharing every compile), report the better one
-    aps, t, inner = measure(cohorts)
+    aps, t, inner, hstats = measure(cohorts)
     alt = cohorts - 1 if cohorts > 2 else cohorts + 1
-    aps2, t2, _ = measure(alt, inner=inner)
+    aps2, t2, _, hstats2 = measure(alt, inner=inner)
     if aps2 > aps:
-        cohorts, aps, t = alt, aps2, t2
+        cohorts, aps, t, hstats = alt, aps2, t2, hstats2
+    host_summary = {
+        k: round(sum(v), 3) for k, v in hstats.items() if isinstance(v, list)
+    }
+    host_summary["stream_wall_s"] = round(hstats.get("stream_wall_s", 0.0), 3)
 
     # per-phase attribution (VERDICT r2 #1): blocking best-of-3 timings of
     # the two device programs that make up a cycle, on a fresh single
@@ -444,6 +453,7 @@ def bench_pipelined(batch: int, cohorts: int = 2,
                     "single host thread)",
             "best_stream_s": round(t, 4),
             "cycles_per_stream": CYCLES,
+            "host_time_s_per_stream": host_summary,
             "phase_breakdown": {
                 "s2_blocking_s": round(s2_s, 4),
                 "s1_blocking_s": round(s1_s, 4),

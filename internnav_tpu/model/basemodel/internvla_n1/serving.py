@@ -735,7 +735,8 @@ class PipelinedN1Server:
     def serve_stream(self, frames_fn, n_cycles: int,
                      max_new_tokens: int = 128, num_sample_trajs: int = 32,
                      s1_calls: int = 2, on_cycle=None,
-                     shared_decode: bool = False):
+                     shared_decode: bool = False,
+                     host_stats: Optional[Dict[str, list]] = None):
         """Continuous pipelined serving for n_cycles macro-cycles.
 
         Unlike `serve_macro_cycle`, cycle boundaries are pipelined too: as
@@ -745,20 +746,41 @@ class PipelinedN1Server:
         frames_fn(cohort_idx, cycle_idx, phase) -> (B, H, W, 3) frames;
         on_cycle(cohort_idx, cycle_idx, s2_outputs, s1_results) is called
         as each cohort finishes a cycle (bookkeeping hook).
+
+        host_stats: optional dict collecting per-call HOST durations in
+        seconds under keys s2_submit/s2_collect/s1_submit/s1_collect
+        (+ shared_decode). Submit durations are host prep + uploads +
+        dispatch; collect durations include any device wait. Comparing
+        their sums against the stream wall time attributes the
+        device-idle gap (host-bound vs device-bound serving).
         """
+        import time as _time
+
         n = len(self.cohorts)
         s2h = [None] * n
         lat = [None] * n
         s2out = [None] * n
         s1res: List[List[Any]] = [[] for _ in range(n)]
 
+        if host_stats is None:
+            def timed(key, fn, *a, **kw):
+                return fn(*a, **kw)
+        else:
+            def timed(key, fn, *a, **kw):
+                t0 = _time.perf_counter()
+                out = fn(*a, **kw)
+                host_stats.setdefault(key, []).append(
+                    _time.perf_counter() - t0)
+                return out
+
         def submit_s2(ci, t):
             if shared_decode:
-                s2h[ci] = self.cohorts[ci].s2_prefill_submit(
-                    frames_fn(ci, t, 0), max_new_tokens)
+                s2h[ci] = timed("s2_submit",
+                                self.cohorts[ci].s2_prefill_submit,
+                                frames_fn(ci, t, 0), max_new_tokens)
             else:
-                s2h[ci] = self.cohorts[ci].s2_submit(frames_fn(ci, t, 0),
-                                                     max_new_tokens)
+                s2h[ci] = timed("s2_submit", self.cohorts[ci].s2_submit,
+                                frames_fn(ci, t, 0), max_new_tokens)
 
         def latents_of(ci):
             rows = []
@@ -777,21 +799,24 @@ class PipelinedN1Server:
             if shared_decode:
                 # every cohort's prefill for cycle t is dispatched; one
                 # grouped program decodes them all (async dispatch)
-                self._shared_decode(s2h)
+                timed("shared_decode", self._shared_decode, s2h)
             s1h = [None] * n
             for ci, pol in enumerate(self.cohorts):
-                s2out[ci] = pol.s2_collect(s2h[ci])
+                s2out[ci] = timed("s2_collect", pol.s2_collect, s2h[ci])
                 lat[ci] = latents_of(ci)
                 s1res[ci] = []
-                s1h[ci] = pol.s1_submit(frames_fn(ci, t, 1), lat[ci],
-                                        num_sample_trajs)
+                s1h[ci] = timed("s1_submit", pol.s1_submit,
+                                frames_fn(ci, t, 1), lat[ci],
+                                num_sample_trajs)
             for call in range(1, s1_calls + 1):
                 nxt = [None] * n
                 for ci, pol in enumerate(self.cohorts):
-                    s1res[ci].append(pol.s1_collect(s1h[ci]))
+                    s1res[ci].append(
+                        timed("s1_collect", pol.s1_collect, s1h[ci]))
                     if call < s1_calls:
-                        nxt[ci] = pol.s1_submit(frames_fn(ci, t, call + 1),
-                                                lat[ci], num_sample_trajs)
+                        nxt[ci] = timed("s1_submit", pol.s1_submit,
+                                        frames_fn(ci, t, call + 1),
+                                        lat[ci], num_sample_trajs)
                     else:
                         # cycle boundary pipelined: next cycle's S2 goes
                         # into the device queue before other cohorts'
