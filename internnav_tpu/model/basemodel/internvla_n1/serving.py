@@ -113,6 +113,9 @@ class BatchedN1Policy:
         self.batch_size = batch_size
         self.slots = [_Slot() for _ in range(batch_size)]
         self._rng = jax.random.PRNGKey(0)
+        #: content-addressed device copies of prompt metadata (see
+        #: _device_meta) — steady-state prompts re-upload nothing
+        self._meta_cache: Dict[bytes, tuple] = {}
 
     # ------------------------------------------------------------ lifecycle
     def reset_slot(self, i: int, instruction: str) -> None:
@@ -305,14 +308,43 @@ class BatchedN1Policy:
             if key not in inner._jit_cache:
                 inner._jit_cache[key] = inner._fused_s2_fn(
                     max_new_tokens, cfg.n_query)
+            ids_d, pos_d, deltas_d, plen_d, seg_d = self._device_meta(g)
             tokens, lengths, latents = inner._jit_cache[key](
-                inner.params, g["img_tokens"], jnp.asarray(g["padded_ids"]),
-                jnp.asarray(g["padded_pos"]), jnp.asarray(g["deltas"]),
-                jnp.asarray(g["prompt_len"]), jnp.asarray(g["prompt_seg"]),
+                inner.params, g["img_tokens"], ids_d, pos_d, deltas_d,
+                plen_d, seg_d,
             )
             pending.append((g["rows"], tokens, lengths, latents))
         return {"pending": pending, "dev_imgs": dev_imgs,
                 "current_row": current_row, "slot_ids": slot_ids}
+
+    def _device_meta(self, g: Dict[str, Any]):
+        """Device copies of a group's prompt metadata (ids, M-RoPE
+        positions, rope deltas, prompt lengths, pad segments), memoized by
+        content digest. At the long-episode steady state these ~0.4 MB of
+        arrays are IDENTICAL every macro-step (the prompts only change
+        when an episode resets), and each host→device upload pays a fixed
+        ~30 ms round trip on networked-TPU backends — five avoidable RPCs
+        per cohort-cycle."""
+        import hashlib
+
+        hsh = hashlib.blake2b(digest_size=16)
+        for name in ("padded_ids", "padded_pos", "deltas", "prompt_len",
+                     "prompt_seg"):
+            a = g[name]
+            hsh.update(a.tobytes())
+            hsh.update(str(a.shape).encode())
+        key = hsh.digest()
+        cached = self._meta_cache.get(key)
+        if cached is None:
+            cached = (jnp.asarray(g["padded_ids"]),
+                      jnp.asarray(g["padded_pos"]),
+                      jnp.asarray(g["deltas"]),
+                      jnp.asarray(g["prompt_len"]),
+                      jnp.asarray(g["prompt_seg"]))
+            if len(self._meta_cache) >= 16:  # bounded: drop the oldest
+                self._meta_cache.pop(next(iter(self._meta_cache)))
+            self._meta_cache[key] = cached
+        return cached
 
     def s2_prefill_submit(self, images: np.ndarray,
                           max_new_tokens: int = 128,
@@ -354,12 +386,12 @@ class BatchedN1Policy:
             if key not in inner._jit_cache:
                 inner._jit_cache[key] = inner._prefill_s2_fn(
                     max_new_tokens, cfg.n_query)
+            ids_d, pos_d, deltas_d, plen_d, seg_d = self._device_meta(g)
             first, caches = inner._jit_cache[key](
-                inner.params, g["img_tokens"], jnp.asarray(g["padded_ids"]),
-                jnp.asarray(g["padded_pos"]),
-                jnp.asarray(g["prompt_len"]), jnp.asarray(g["prompt_seg"]),
+                inner.params, g["img_tokens"], ids_d, pos_d, plen_d, seg_d,
             )
-            g.update(first=first, caches=caches)
+            g.update(first=first, caches=caches, deltas_d=deltas_d,
+                     plen_d=plen_d)
             pgroups.append(g)
         return {"pgroups": pgroups, "dev_imgs": dev_imgs,
                 "current_row": current_row, "slot_ids": slot_ids,
@@ -373,7 +405,15 @@ class BatchedN1Policy:
         by_slot: Dict[int, S2Output] = {}
         for rows, tokens, lengths, latents in handle["pending"]:
             tokens_h = np.asarray(jax.device_get(tokens))
-            lengths_h = np.asarray(jax.device_get(lengths))
+            # lengths = first-EOS index, exactly what greedy_generate
+            # computes on device — derive it from the fetched tokens
+            # instead of a second fetch (each fetch pays a fixed ~30 ms
+            # round trip on networked-TPU backends; `lengths` itself is
+            # never transferred)
+            eos_id = inner.tokenizer.eos_token_id
+            hit = tokens_h == eos_id
+            lengths_h = np.where(hit.any(axis=1), hit.argmax(axis=1),
+                                 tokens_h.shape[1])
             for r, i in enumerate(rows):
                 gen = tokens_h[r][: int(lengths_h[r])]
                 text = inner.tokenizer.decode(gen)
@@ -595,10 +635,12 @@ def shared_decode_handles(inner, n_query: int,
     for (T, mnt), items in buckets.items():
         trees = [g["caches"] for _, g in items]
         first = jnp.concatenate([g["first"] for _, g in items])
+        # device copies stashed by s2_prefill_submit (content-cached) —
+        # no per-flush re-upload
         deltas = jnp.concatenate(
-            [jnp.asarray(g["deltas"]) for _, g in items])
+            [g.get("deltas_d", jnp.asarray(g["deltas"])) for _, g in items])
         plen = jnp.concatenate(
-            [jnp.asarray(g["prompt_len"]) for _, g in items])
+            [g.get("plen_d", jnp.asarray(g["prompt_len"])) for _, g in items])
         sizes = tuple(g["first"].shape[0] for _, g in items)
         key = f"gtail_{T}_{sizes}_{mnt}"
         if key not in inner._jit_cache:
