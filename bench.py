@@ -318,13 +318,18 @@ def bench_batched(batch: int) -> dict:
 
 
 def bench_pipelined(batch: int, cohorts: int = 2,
-                    shared_decode: bool = False) -> dict:
+                    shared_decode=None) -> dict:
     """Phase-interleaved multi-cohort serving (serving.PipelinedN1Server):
     while one cohort's host work runs (prompt build, uploads, token
     parsing, fetches), the other cohorts' device programs execute — async
     jax dispatch on one host thread, so the chip idles only when every
     cohort is in a host phase. Cohorts share params and jit caches;
-    per-stream semantics identical to single-cohort serving."""
+    per-stream semantics identical to single-cohort serving.
+
+    shared_decode=None (the default mode's setting) measures BOTH decode
+    modes — per-cohort fused vs shared grouped decode (one decoder weight
+    stream per token for all cohorts) — across neighboring cohort counts
+    and reports the best; True/False pins the mode."""
     import jax.numpy as jnp
 
     from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Model
@@ -341,7 +346,7 @@ def bench_pipelined(batch: int, cohorts: int = 2,
     img = rs.randint(0, 255, (IMAGE_HW, IMAGE_HW, 3)).astype(np.uint8)
     imgs = np.stack([img] * batch)
 
-    def measure(n_cohorts: int, inner=None) -> tuple:
+    def measure(n_cohorts: int, shared: bool, inner=None) -> tuple:
         server = PipelinedN1Server(model, params, cfg, batch_size=batch,
                                    cohorts=n_cohorts)
         if inner is not None:  # share params + jit caches across configs
@@ -363,7 +368,7 @@ def bench_pipelined(batch: int, cohorts: int = 2,
             server.serve_stream(frames_fn, n, max_new_tokens=DECODE_TOKENS,
                                 num_sample_trajs=NUM_SAMPLE_TRAJS,
                                 s1_calls=2, on_cycle=on_cycle,
-                                shared_decode=shared_decode,
+                                shared_decode=shared,
                                 host_stats=host_stats)
 
         for pol in server.cohorts:  # saturate history
@@ -390,13 +395,34 @@ def bench_pipelined(batch: int, cohorts: int = 2,
         aps_c = ACTIONS_PER_CYCLE * batch * n_cohorts * CYCLES / best
         return aps_c, best, server.inner, host_stats
 
-    # cohort count is a serving-tuning knob: measure the requested count
-    # and its neighbor (sharing every compile), report the better one
-    aps, t, inner, hstats = measure(cohorts)
+    # cohort count and decode mode are serving-tuning knobs: measure the
+    # candidate configs (sharing every compile they have in common) and
+    # report the best. shared_decode=None — the no-flags driver mode —
+    # tries the grouped decode first (bit-identical per
+    # tests/test_serving_shared_decode.py) and keeps the per-cohort path
+    # as the fallback candidate.
     alt = cohorts - 1 if cohorts > 2 else cohorts + 1
-    aps2, t2, _, hstats2 = measure(alt, inner=inner)
-    if aps2 > aps:
-        cohorts, aps, t, hstats = alt, aps2, t2, hstats2
+    if shared_decode is None:
+        candidates = [(cohorts, True), (alt, True), (cohorts, False)]
+    else:
+        candidates = [(cohorts, shared_decode), (alt, shared_decode)]
+    inner = None
+    tried = []
+    best_run = None
+    for n_c, shared in candidates:
+        try:
+            aps_c, t_c, inner, hstats_c = measure(n_c, shared, inner=inner)
+        except Exception as e:  # e.g. HBM OOM at a high cohort count
+            tried.append({"cohorts": n_c, "shared_decode": shared,
+                          "error": f"{type(e).__name__}: {e}"[:200]})
+            continue
+        tried.append({"cohorts": n_c, "shared_decode": shared,
+                      "actions_per_sec": round(aps_c, 2)})
+        if best_run is None or aps_c > best_run[0]:
+            best_run = (aps_c, t_c, hstats_c, n_c, shared)
+    if best_run is None:
+        raise RuntimeError(f"every pipelined config failed: {tried}")
+    aps, t, hstats, cohorts, shared_decode = best_run
     host_summary = {
         k: round(sum(v), 3) for k, v in hstats.items() if isinstance(v, list)
     }
@@ -453,6 +479,7 @@ def bench_pipelined(batch: int, cohorts: int = 2,
                     "single host thread)",
             "best_stream_s": round(t, 4),
             "cycles_per_stream": CYCLES,
+            "configs_measured": tried,
             "host_time_s_per_stream": host_summary,
             "phase_breakdown": {
                 "s2_blocking_s": round(s2_s, 4),
@@ -705,11 +732,15 @@ def main() -> None:
                     help="per-group(g) int8 scales for --compare-quant "
                          "(0 = per-output-channel)")
     ap.add_argument("--shared-decode", action="store_true",
-                    help="batch every cohort's greedy decode + traj-latent "
-                         "chunk into ONE grouped device program (one "
-                         "decoder weight stream per token serves all "
-                         "cohorts); per-slot results bit-identical to the "
-                         "per-cohort fused path")
+                    help="pin the shared grouped decode: every cohort's "
+                         "greedy decode + traj-latent chunk in ONE grouped "
+                         "device program (one decoder weight stream per "
+                         "token serves all cohorts); per-slot results "
+                         "bit-identical to the per-cohort fused path. "
+                         "Default (neither flag): measure both modes and "
+                         "report the best")
+    ap.add_argument("--per-cohort-decode", action="store_true",
+                    help="pin the per-cohort fused decode (no grouping)")
     ap.add_argument("--cohorts", type=int, default=3,
                     help="number of phase-interleaved cohorts. The DEFAULT "
                          "mode is pipelined multi-cohort serving — the "
@@ -736,8 +767,13 @@ def main() -> None:
     elif args.blocking:
         result = bench_batched(args.batch)
     else:
+        shared = None  # auto: measure both decode modes, report the best
+        if args.shared_decode:
+            shared = True
+        elif args.per_cohort_decode:
+            shared = False
         result = bench_pipelined(args.batch, args.cohorts,
-                                 shared_decode=args.shared_decode)
+                                 shared_decode=shared)
     print(json.dumps(result))
 
 

@@ -1,0 +1,53 @@
+"""Smoke test for bench.py's pipelined auto mode (the exact code path the
+driver runs as `python bench.py` at round end): candidate-config sweep
+(shared grouped decode + per-cohort fused decode across neighboring cohort
+counts), best-config selection, and the JSON schema — at tiny dims on CPU
+so a bench.py regression never surfaces for the first time on the real
+chip."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench as bench_mod  # noqa: E402
+
+
+def _tiny_cfg(num_layers, weight_dtype="bf16", quant_group_size=None,
+              decode_act_dtype=None):
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Config,
+    )
+
+    return InternVLAN1Config.tiny("nextdit_async")
+
+
+@pytest.mark.parametrize("pinned", [None, False])
+def test_bench_pipelined_candidate_sweep(monkeypatch, pinned):
+    monkeypatch.setattr(bench_mod, "_full_n1_config", _tiny_cfg)
+    monkeypatch.setattr(bench_mod, "IMAGE_HW", 56)
+    monkeypatch.setattr(bench_mod, "DECODE_TOKENS", 4)
+    monkeypatch.setattr(bench_mod, "CYCLES", 1)
+    monkeypatch.setattr(bench_mod, "NUM_SAMPLE_TRAJS", 4)
+
+    res = bench_mod.bench_pipelined(batch=2, cohorts=2, shared_decode=pinned)
+
+    assert res["unit"] == "actions/s"
+    assert res["value"] > 0
+    det = res["detail"]
+    tried = det["configs_measured"]
+    if pinned is None:
+        # auto mode: both decode modes measured, plus the neighbor count
+        assert {(c["cohorts"], c["shared_decode"]) for c in tried} == {
+            (2, True), (3, True), (2, False)}
+    else:
+        assert all(c["shared_decode"] is False for c in tried)
+        assert {c["cohorts"] for c in tried} == {2, 3}
+    assert all("actions_per_sec" in c or "error" in c for c in tried)
+    # the reported headline is the best measured candidate
+    best = max(c["actions_per_sec"] for c in tried if "actions_per_sec" in c)
+    assert res["value"] == best
+    assert det["shared_decode"] in (True, False)
+    assert det["phase_breakdown"]["s2_blocking_s"] > 0
