@@ -20,8 +20,9 @@ DAV2_DIR = ("/root/reference/internnav/model/encoder/depth_anything/"
 
 
 def _load_reference_dav2():
-    torch = pytest.importorskip("torch")
-    if "torchvision" not in sys.modules:
+    pytest.importorskip("torch")
+    added_stub = "torchvision" not in sys.modules
+    if added_stub:
         tv = types.ModuleType("torchvision")
         tr = types.ModuleType("torchvision.transforms")
 
@@ -34,13 +35,25 @@ def _load_reference_dav2():
 
         tr.Compose = _compose
         tv.transforms = tr
+        # a bare ModuleType has __spec__ None, which makes any LATER
+        # importlib.util.find_spec("torchvision") raise ValueError —
+        # transformers probes exactly that at import, so give the stub a
+        # real spec and drop it again right after the reference import
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+        tr.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision.transforms", None)
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tr
-    if "ref_dav2" not in sys.modules:
-        pkg = types.ModuleType("ref_dav2")
-        pkg.__path__ = [DAV2_DIR]
-        sys.modules["ref_dav2"] = pkg
-    return importlib.import_module("ref_dav2.dpt")
+    try:
+        if "ref_dav2" not in sys.modules:
+            pkg = types.ModuleType("ref_dav2")
+            pkg.__path__ = [DAV2_DIR]
+            sys.modules["ref_dav2"] = pkg
+        return importlib.import_module("ref_dav2.dpt")
+    finally:
+        if added_stub:  # leave no trace for unrelated tests
+            sys.modules.pop("torchvision", None)
+            sys.modules.pop("torchvision.transforms", None)
 
 
 @pytest.mark.slow
