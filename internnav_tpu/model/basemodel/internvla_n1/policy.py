@@ -135,6 +135,15 @@ class InternVLAN1Policy:
         self.reset()
         self._jit_cache: Dict[str, Any] = {}
 
+    @property
+    def stop_token_ids(self) -> tuple:
+        """THE greedy-decode stop set (reference stops on <|im_end|> only,
+        internvla_n1_policy.py:169-176). Single definition shared by every
+        device decode program AND the host-side lengths derivation in
+        serving.s2_collect — they must agree or decoded text silently grows
+        trailing stop/pad tokens."""
+        return (self.tokenizer.eos_token_id,)
+
     # ------------------------------------------------------------ lifecycle
     @classmethod
     def from_pretrained_torch(cls, path: str, cfg: InternVLAN1Config,
@@ -342,7 +351,7 @@ class InternVLAN1Policy:
         model = self.model
         text_model = self.text_model
         cfg = self.cfg
-        eos = (self.tokenizer.eos_token_id,)
+        eos = self.stop_token_ids
 
         def fn(params, img_tokens, input_ids, pos_ids, rope_deltas,
                prompt_len, prompt_seg):
@@ -419,7 +428,7 @@ class InternVLAN1Policy:
         (tests/test_grouped_decode.py, tests/test_serving_shared_decode.py)."""
         model = self.model
         text_model = self.text_model
-        eos = (self.tokenizer.eos_token_id,)
+        eos = self.stop_token_ids
 
         from internnav_tpu.model.basemodel.internvla_n1.qwen_text import (
             greedy_decode_grouped,
@@ -493,7 +502,7 @@ class InternVLAN1Policy:
 
         key = f"gen_{input_ids.shape}_{img_tokens.shape}_{max_new_tokens}"
         if key not in self._jit_cache:
-            eos = (self.tokenizer.eos_token_id,)
+            eos = self.stop_token_ids
 
             def gen_fn(params, input_ids, img_tokens, pos_ids, rope_deltas):
                 embeds = self.model.apply(

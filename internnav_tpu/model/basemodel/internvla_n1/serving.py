@@ -309,11 +309,14 @@ class BatchedN1Policy:
                 inner._jit_cache[key] = inner._fused_s2_fn(
                     max_new_tokens, cfg.n_query)
             ids_d, pos_d, deltas_d, plen_d, seg_d = self._device_meta(g)
-            tokens, lengths, latents = inner._jit_cache[key](
+            tokens, _lengths, latents = inner._jit_cache[key](
                 inner.params, g["img_tokens"], ids_d, pos_d, deltas_d,
                 plen_d, seg_d,
             )
-            pending.append((g["rows"], tokens, lengths, latents))
+            # the device `lengths` output is consumed INSIDE the program
+            # (latent positions); s2_collect re-derives it host-side from
+            # the fetched tokens, so it is deliberately not threaded through
+            pending.append((g["rows"], tokens, latents))
         return {"pending": pending, "dev_imgs": dev_imgs,
                 "current_row": current_row, "slot_ids": slot_ids}
 
@@ -333,17 +336,21 @@ class BatchedN1Policy:
             a = g[name]
             hsh.update(a.tobytes())
             hsh.update(str(a.shape).encode())
+            hsh.update(a.dtype.str.encode())  # same bytes, same shape,
+            # different dtype must MISS, not alias
         key = hsh.digest()
-        cached = self._meta_cache.get(key)
+        cached = self._meta_cache.pop(key, None)
         if cached is None:
             cached = (jnp.asarray(g["padded_ids"]),
                       jnp.asarray(g["padded_pos"]),
                       jnp.asarray(g["deltas"]),
                       jnp.asarray(g["prompt_len"]),
                       jnp.asarray(g["prompt_seg"]))
-            if len(self._meta_cache) >= 16:  # bounded: drop the oldest
-                self._meta_cache.pop(next(iter(self._meta_cache)))
-            self._meta_cache[key] = cached
+            if len(self._meta_cache) >= 16:  # bounded LRU: evict the
+                self._meta_cache.pop(next(iter(self._meta_cache)))  # coldest
+        self._meta_cache[key] = cached  # (re)insert = LRU touch, so a slot
+        # mid-warmup churning new prompts can't evict the hot steady-state
+        # entries that the cache exists for
         return cached
 
     def s2_prefill_submit(self, images: np.ndarray,
@@ -403,15 +410,15 @@ class BatchedN1Policy:
         dev_imgs = handle["dev_imgs"]
         current_row = handle["current_row"]
         by_slot: Dict[int, S2Output] = {}
-        for rows, tokens, lengths, latents in handle["pending"]:
+        for rows, tokens, latents in handle["pending"]:
             tokens_h = np.asarray(jax.device_get(tokens))
-            # lengths = first-EOS index, exactly what greedy_generate
-            # computes on device — derive it from the fetched tokens
-            # instead of a second fetch (each fetch pays a fixed ~30 ms
-            # round trip on networked-TPU backends; `lengths` itself is
-            # never transferred)
-            eos_id = inner.tokenizer.eos_token_id
-            hit = tokens_h == eos_id
+            # lengths = first-stop-token index, exactly what
+            # greedy_generate computes on device — derive it from the
+            # fetched tokens instead of a second fetch (each fetch pays a
+            # fixed ~30 ms round trip on networked-TPU backends; `lengths`
+            # itself is never transferred). inner.stop_token_ids is the
+            # SAME definition the device decode programs were built with.
+            hit = np.isin(tokens_h, inner.stop_token_ids)
             lengths_h = np.where(hit.any(axis=1), hit.argmax(axis=1),
                                  tokens_h.shape[1])
             for r, i in enumerate(rows):
@@ -636,23 +643,27 @@ def shared_decode_handles(inner, n_query: int,
         trees = [g["caches"] for _, g in items]
         first = jnp.concatenate([g["first"] for _, g in items])
         # device copies stashed by s2_prefill_submit (content-cached) —
-        # no per-flush re-upload
+        # no per-flush re-upload. NOT dict.get(key, jnp.asarray(...)):
+        # python evaluates a .get default eagerly, which would pay the
+        # upload anyway and discard it.
         deltas = jnp.concatenate(
-            [g.get("deltas_d", jnp.asarray(g["deltas"])) for _, g in items])
+            [g["deltas_d"] if "deltas_d" in g else jnp.asarray(g["deltas"])
+             for _, g in items])
         plen = jnp.concatenate(
-            [g.get("plen_d", jnp.asarray(g["prompt_len"])) for _, g in items])
+            [g["plen_d"] if "plen_d" in g else jnp.asarray(g["prompt_len"])
+             for _, g in items])
         sizes = tuple(g["first"].shape[0] for _, g in items)
         key = f"gtail_{T}_{sizes}_{mnt}"
         if key not in inner._jit_cache:
             inner._jit_cache[key] = inner._grouped_tail_fn(mnt, n_query)
-        tokens, lengths, latents = inner._jit_cache[key](
+        tokens, _lengths, latents = inner._jit_cache[key](
             inner.params, trees, first, deltas, plen)
         r = 0
         for h, g in items:
             Bg = g["first"].shape[0]
+            # lengths re-derived host-side in s2_collect (see s2_submit)
             h.setdefault("pending", []).append(
-                (g["rows"], tokens[r:r + Bg], lengths[r:r + Bg],
-                 latents[r:r + Bg]))
+                (g["rows"], tokens[r:r + Bg], latents[r:r + Bg]))
             r += Bg
     for h in handles:
         h.pop("pgroups", None)
