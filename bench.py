@@ -318,7 +318,7 @@ def bench_batched(batch: int) -> dict:
 
 
 def bench_pipelined(batch: int, cohorts: int = 2,
-                    shared_decode=None) -> dict:
+                    shared_decode=None, shared_s1=None) -> dict:
     """Phase-interleaved multi-cohort serving (serving.PipelinedN1Server):
     while one cohort's host work runs (prompt build, uploads, token
     parsing, fetches), the other cohorts' device programs execute — async
@@ -329,7 +329,8 @@ def bench_pipelined(batch: int, cohorts: int = 2,
     shared_decode=None (the default mode's setting) measures BOTH decode
     modes — per-cohort fused vs shared grouped decode (one decoder weight
     stream per token for all cohorts) — across neighboring cohort counts
-    and reports the best; True/False pins the mode."""
+    and reports the best; True/False pins the mode. shared_s1 likewise
+    for the grouped System-1 denoise (one DiT program for all cohorts)."""
     import jax.numpy as jnp
 
     from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Model
@@ -346,7 +347,8 @@ def bench_pipelined(batch: int, cohorts: int = 2,
     img = rs.randint(0, 255, (IMAGE_HW, IMAGE_HW, 3)).astype(np.uint8)
     imgs = np.stack([img] * batch)
 
-    def measure(n_cohorts: int, shared: bool, inner=None) -> tuple:
+    def measure(n_cohorts: int, shared: bool, s1_shared: bool,
+                inner=None) -> tuple:
         server = PipelinedN1Server(model, params, cfg, batch_size=batch,
                                    cohorts=n_cohorts)
         if inner is not None:  # share params + jit caches across configs
@@ -368,7 +370,7 @@ def bench_pipelined(batch: int, cohorts: int = 2,
             server.serve_stream(frames_fn, n, max_new_tokens=DECODE_TOKENS,
                                 num_sample_trajs=NUM_SAMPLE_TRAJS,
                                 s1_calls=2, on_cycle=on_cycle,
-                                shared_decode=shared,
+                                shared_decode=shared, shared_s1=s1_shared,
                                 host_stats=host_stats)
 
         for pol in server.cohorts:  # saturate history
@@ -395,34 +397,40 @@ def bench_pipelined(batch: int, cohorts: int = 2,
         aps_c = ACTIONS_PER_CYCLE * batch * n_cohorts * CYCLES / best
         return aps_c, best, server.inner, host_stats
 
-    # cohort count and decode mode are serving-tuning knobs: measure the
-    # candidate configs (sharing every compile they have in common) and
-    # report the best. shared_decode=None — the no-flags driver mode —
-    # tries the grouped decode first (bit-identical per
-    # tests/test_serving_shared_decode.py) and keeps the per-cohort path
-    # as the fallback candidate.
+    # cohort count, decode mode and S1 mode are serving-tuning knobs:
+    # measure the candidate configs (sharing every compile they have in
+    # common) and report the best. All-None — the no-flags driver mode —
+    # tries the fully-grouped config first (row-identical per
+    # tests/test_serving_shared_decode.py / test_serving_shared_s1.py) and
+    # keeps the per-cohort paths as fallback candidates.
     alt = cohorts - 1 if cohorts > 2 else cohorts + 1
-    if shared_decode is None:
-        candidates = [(cohorts, True), (alt, True), (cohorts, False)]
+    if shared_decode is None and shared_s1 is None:
+        candidates = [(cohorts, True, True), (alt, True, True),
+                      (cohorts, True, False), (cohorts, False, False)]
     else:
-        candidates = [(cohorts, shared_decode), (alt, shared_decode)]
+        dec = True if shared_decode is None else shared_decode
+        s1m = dec if shared_s1 is None else shared_s1
+        candidates = [(cohorts, dec, s1m), (alt, dec, s1m)]
     inner = None
     tried = []
     best_run = None
-    for n_c, shared in candidates:
+    for n_c, shared, s1_shared in candidates:
         try:
-            aps_c, t_c, inner, hstats_c = measure(n_c, shared, inner=inner)
+            aps_c, t_c, inner, hstats_c = measure(n_c, shared, s1_shared,
+                                                  inner=inner)
         except Exception as e:  # e.g. HBM OOM at a high cohort count
             tried.append({"cohorts": n_c, "shared_decode": shared,
+                          "shared_s1": s1_shared,
                           "error": f"{type(e).__name__}: {e}"[:200]})
             continue
         tried.append({"cohorts": n_c, "shared_decode": shared,
+                      "shared_s1": s1_shared,
                       "actions_per_sec": round(aps_c, 2)})
         if best_run is None or aps_c > best_run[0]:
-            best_run = (aps_c, t_c, hstats_c, n_c, shared)
+            best_run = (aps_c, t_c, hstats_c, n_c, shared, s1_shared)
     if best_run is None:
         raise RuntimeError(f"every pipelined config failed: {tried}")
-    aps, t, hstats, cohorts, shared_decode = best_run
+    aps, t, hstats, cohorts, shared_decode, shared_s1 = best_run
     host_summary = {
         k: round(sum(v), 3) for k, v in hstats.items() if isinstance(v, list)
     }
@@ -472,6 +480,7 @@ def bench_pipelined(batch: int, cohorts: int = 2,
             "batch_size": batch,
             "cohorts": cohorts,
             "shared_decode": shared_decode,
+            "shared_s1": shared_s1,
             "streams": batch * cohorts,
             "dims": "full 28-layer Qwen2.5-VL-7B resident, int8 weight-only "
                     "projections, bf16 activations/KV; independent episode "
@@ -741,6 +750,11 @@ def main() -> None:
                          "report the best")
     ap.add_argument("--per-cohort-decode", action="store_true",
                     help="pin the per-cohort fused decode (no grouping)")
+    ap.add_argument("--shared-s1", action="store_true",
+                    help="pin the grouped System-1: every cohort's denoise "
+                         "of a micro-step in ONE device program")
+    ap.add_argument("--per-cohort-s1", action="store_true",
+                    help="pin per-cohort System-1 dispatch (no grouping)")
     ap.add_argument("--cohorts", type=int, default=3,
                     help="number of phase-interleaved cohorts. The DEFAULT "
                          "mode is pipelined multi-cohort serving — the "
@@ -772,8 +786,13 @@ def main() -> None:
             shared = True
         elif args.per_cohort_decode:
             shared = False
+        s1 = None
+        if args.shared_s1:
+            s1 = True
+        elif args.per_cohort_s1:
+            s1 = False
         result = bench_pipelined(args.batch, args.cohorts,
-                                 shared_decode=shared)
+                                 shared_decode=shared, shared_s1=s1)
     print(json.dumps(result))
 
 

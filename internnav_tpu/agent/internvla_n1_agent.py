@@ -307,6 +307,10 @@ class BatchedInternVLAN1Agent(Agent):
         #: batches every cohort's greedy decode into one grouped program
         #: (one decoder weight stream per token for all cohorts)
         self.decode_pool = None
+        #: optional serving.SharedS1Pool — when set, System-1 denoises are
+        #: prepared per cohort and dispatched as ONE grouped DiT program
+        #: for every pooled cohort (serving.s1_grouped_dispatch)
+        self.s1_pool = None
 
     # ------------------------------------------------------------ lifecycle
     def reset(self, reset_index: Optional[List[int]] = None) -> None:
@@ -390,10 +394,21 @@ class BatchedInternVLAN1Agent(Agent):
             cur = np.stack([np.asarray(obs[i]["rgb"]) for i in s1_ids])
             lat = jnp.concatenate(
                 [jnp.asarray(self.states[i].latent) for i in s1_ids], axis=0)
-            h1 = self.policy.s1_submit(
-                cur, lat, num_sample_trajs=self.num_sample_trajs,
-                slot_ids=s1_ids)
-            yield  # device busy: S1 denoise in flight
+            if self.s1_pool is not None:
+                spec = self.policy.s1_prepare(
+                    cur, lat, num_sample_trajs=self.num_sample_trajs,
+                    slot_ids=s1_ids)
+                self.s1_pool.add(spec)
+                yield  # uploads done; pool gathers peer cohorts' denoises
+                # first cohort to resume dispatches the grouped DiT program
+                # for every pooled spec
+                self.s1_pool.flush()
+                h1 = spec["handle"]
+            else:
+                h1 = self.policy.s1_submit(
+                    cur, lat, num_sample_trajs=self.num_sample_trajs,
+                    slot_ids=s1_ids)
+                yield  # device busy: S1 denoise in flight
             s1_outs = self.policy.s1_collect(h1)
             for i, s1 in zip(s1_ids, s1_outs):
                 st = self.states[i]

@@ -146,6 +146,7 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
             agent = self._make_cohort_agent(c)
             cohorts.append(_Cohort(c, env, agent, self.progress, self.store))
         self._attach_decode_pool(cohorts)
+        self._attach_s1_pool(cohorts)
         return cohorts
 
     def _attach_decode_pool(self, cohorts: List["_Cohort"]) -> None:
@@ -169,6 +170,28 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
         pool = SharedDecodePool(inner, inner.cfg.n_query)
         for a in agents:
             a.decode_pool = pool
+
+    def _attach_s1_pool(self, cohorts: List["_Cohort"]) -> None:
+        """env_settings["shared_s1"]: batch every cohort's System-1 denoise
+        into one grouped DiT program per scheduler pass
+        (serving.s1_grouped_dispatch — row-identical up to float epsilon).
+        Requires dual-system agents sharing one BatchedN1Policy inner;
+        silently skipped otherwise."""
+        settings = getattr(self.cfg.env, "env_settings", None) or {}
+        if not settings.get("shared_s1"):
+            return
+        agents = [c.agent for c in cohorts]
+        if not all(hasattr(a, "s1_pool")
+                   and hasattr(getattr(a, "policy", None), "inner")
+                   for a in agents):
+            return
+        from internnav_tpu.model.basemodel.internvla_n1.serving import (
+            SharedS1Pool,
+        )
+
+        pool = SharedS1Pool()
+        for a in agents:
+            a.s1_pool = pool
 
     def _make_cohort_agent(self, idx: int):
         """A new agent with its own slot state sharing the cohort-0

@@ -290,10 +290,11 @@ class InternVLAN1Model(nn.Module):
         return self.action_decoder(out)
 
     def generate_traj_nextdit(self, traj_latents, images_dp=None, *,
-                              rng, guidance_scale: float = 1.0,
+                              rng=None, guidance_scale: float = 1.0,
                               num_inference_steps: int = 10,
                               num_sample_trajs: int = 32,
-                              predict_step_nums: Optional[int] = None):
+                              predict_step_nums: Optional[int] = None,
+                              x_init=None):
         """Flow-matching Euler denoise with CFG (internvla_n1.py:349-441)."""
         c = self.cfg
         P = predict_step_nums or c.predict_step_nums
@@ -304,14 +305,16 @@ class InternVLAN1Model(nn.Module):
         else:
             hidden = lat
         return self._denoise_hidden(hidden, rng, guidance_scale,
-                                    num_inference_steps, num_sample_trajs, P)
+                                    num_inference_steps, num_sample_trajs, P,
+                                    x_init=x_init)
 
     def generate_traj_nextdit_cached(self, traj_latents, mem_feats,
-                                     current_images, *, rng,
+                                     current_images, *, rng=None,
                                      guidance_scale: float = 1.0,
                                      num_inference_steps: int = 10,
                                      num_sample_trajs: int = 32,
-                                     predict_step_nums: Optional[int] = None):
+                                     predict_step_nums: Optional[int] = None,
+                                     x_init=None):
         """generate_traj_nextdit with the memory frame's DINOv2 features
         precomputed (`rgb_feats`): only the current frame is encoded here.
         Mathematically identical to passing both frames as pixels — the two
@@ -330,12 +333,19 @@ class InternVLAN1Model(nn.Module):
         else:
             hidden = lat  # non-async nextdit conditions on latents only
         return self._denoise_hidden(hidden, rng, guidance_scale,
-                                    num_inference_steps, num_sample_trajs, P)
+                                    num_inference_steps, num_sample_trajs, P,
+                                    x_init=x_init)
 
     def _denoise_hidden(self, hidden, rng, guidance_scale,
-                        num_inference_steps, num_sample_trajs, P):
+                        num_inference_steps, num_sample_trajs, P,
+                        x_init=None):
         B = hidden.shape[0]
-        x_init = jax.random.normal(rng, (B * num_sample_trajs, P, 3))
+        if x_init is None:
+            x_init = jax.random.normal(rng, (B * num_sample_trajs, P, 3))
+        # x_init injection exists for GROUPED serving: one program denoises
+        # several cohorts' rows, but each cohort's noise must equal the draw
+        # its own per-cohort program would have made (per-cohort keys, one
+        # normal per cohort block) so grouped results stay row-identical.
 
         if guidance_scale == 1.0:
             # The reference always denoises with its default

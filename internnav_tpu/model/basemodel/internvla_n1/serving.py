@@ -34,7 +34,7 @@ Reference behavioral parity targets:
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -508,6 +508,44 @@ class BatchedN1Policy:
 
         return jax.jit(fn)
 
+    def _s1_grouped_fn(self, num_sample_trajs: int, sizes: Tuple[int, ...],
+                       mode: str):
+        """One denoise program over several cohorts' stacked rows (see
+        s1_grouped_dispatch). x_init is drawn per cohort block from that
+        cohort's own key — bit-equal to the per-cohort programs' draws."""
+        inner = self.inner
+        norm = self._s1_norm
+
+        def x_init_of(mdl, rngs):
+            P = mdl.cfg.predict_step_nums
+            return jnp.concatenate([
+                jax.random.normal(rngs[g], (sz * num_sample_trajs, P, 3))
+                for g, sz in enumerate(sizes)])
+
+        if mode == "noimg":
+            def fn(p, lat, rngs):
+                def run(mdl):
+                    return mdl.generate_traj_nextdit(
+                        lat, None, num_sample_trajs=num_sample_trajs,
+                        x_init=x_init_of(mdl, rngs))
+
+                return inner.model.apply({"params": p}, method=run)
+
+            return jax.jit(fn)
+
+        def fn(p, lat, mem, cur, rngs):
+            def run(mdl):
+                mem_feats = mdl.rgb_feats(norm(mem)) if mode == "full" else mem
+                dp = mdl.generate_traj_nextdit_cached(
+                    lat, mem_feats, norm(cur),
+                    num_sample_trajs=num_sample_trajs,
+                    x_init=x_init_of(mdl, rngs))
+                return (dp, mem_feats) if mode == "full" else dp
+
+            return inner.model.apply({"params": p}, method=run)
+
+        return jax.jit(fn)
+
     def _pad_rows(self, arr, Bp: int):
         if arr.shape[0] == Bp:
             return arr
@@ -531,19 +569,16 @@ class BatchedN1Policy:
         """
         inner = self.inner
         cfg = self.cfg
-        self._rng, sub = jax.random.split(self._rng)
         B = rgb.shape[0]
         if "nextdit" not in cfg.system1:
             raise NotImplementedError("batched serving targets the nextdit "
                                       "System-1 (flagship config)")
-        if slot_ids is None:
-            slot_ids = list(range(B))
-        latents = jnp.asarray(latents)
-        Bp = self._pow2_bucket(B)  # pow-2 compute batch: O(log B) jit cache
-        latents_p = self._pad_rows(latents, Bp)
-        handle = {"B": B, "Bp": Bp, "nst": num_sample_trajs}
 
         if rgb.ndim == 5:  # legacy [memory, current] pairs
+            self._rng, sub = jax.random.split(self._rng)
+            Bp = self._pow2_bucket(B)
+            latents_p = self._pad_rows(jnp.asarray(latents), Bp)
+            handle = {"B": B, "Bp": Bp, "nst": num_sample_trajs}
             rgb_u8 = np.asarray(rgb, np.uint8)
             if Bp != B:
                 rgb_u8 = np.concatenate(
@@ -555,48 +590,93 @@ class BatchedN1Policy:
                 inner.params, latents_p, jnp.asarray(rgb_u8), sub)
             return handle
 
-        assert rgb.ndim == 4, f"rgb must be (B,H,W,3) or (B,2,H,W,3), got {rgb.shape}"
+        spec = self.s1_prepare(rgb, latents, num_sample_trajs, slot_ids)
+        self._s1_dispatch(spec)
+        return spec["handle"]
+
+    def s1_prepare(self, rgb: np.ndarray, latents,
+                   num_sample_trajs: int = 32,
+                   slot_ids: Optional[List[int]] = None) -> Dict[str, Any]:
+        """Host prep + uploads for one cohort's System-1 WITHOUT dispatching
+        the denoise. The returned spec either goes to `_s1_dispatch`
+        (per-cohort program; what `s1_submit` does) or is grouped with other
+        cohorts' specs into ONE device program via `s1_grouped_dispatch` —
+        row-identical to per-cohort dispatch because each cohort block keeps
+        its own rng draw and conditioning rows are batch-major."""
+        inner = self.inner
+        cfg = self.cfg
+        self._rng, sub = jax.random.split(self._rng)
+        B = rgb.shape[0]
+        if slot_ids is None:
+            slot_ids = list(range(B))
+        assert rgb.ndim == 4, f"rgb must be (B,H,W,3), got {rgb.shape}"
+        Bp = self._pow2_bucket(B)  # pow-2 compute batch: O(log B) jit cache
+        latents_p = self._pad_rows(jnp.asarray(latents), Bp)
+        spec: Dict[str, Any] = {
+            "handle": {"B": B, "Bp": Bp, "nst": num_sample_trajs},
+            "rng": sub, "latents": latents_p, "Bp": Bp,
+            "nst": num_sample_trajs, "policy": self,
+        }
         if "async" not in cfg.system1:
             # non-async nextdit ignores frames: latents-only denoise
-            key = f"s1Bnoimg_{Bp}_{num_sample_trajs}"
-            if key not in inner._jit_cache:
-                inner._jit_cache[key] = jax.jit(
-                    lambda p, lat, r: inner.model.apply(
-                        {"params": p},
-                        method=lambda mdl: mdl.generate_traj_nextdit(
-                            lat, None, rng=r,
-                            num_sample_trajs=num_sample_trajs)))
-            handle["dp"] = inner._jit_cache[key](inner.params, latents_p, sub)
-            return handle
+            spec["mode"] = "noimg"
+            return spec
         cur_u8 = jnp.asarray(np.asarray(rgb, np.uint8))  # one upload
         slots = [self.slots[i] for i in slot_ids]
         assert all(s.s1_mem_frame is not None for s in slots), (
             "current-frames-only S1 requires a cached memory frame; "
             "run s2_step first (it caches the frame that produced the latent)")
         fresh = [s.s1_mem_feats is None for s in slots]
+        spec["cur"] = self._pad_rows(cur_u8, Bp)
+        spec["hw"] = tuple(rgb.shape[1:])
         if any(fresh):
             # first call for at least one latent: encode memory frames too,
             # cache their features (no pixel upload — frames are device-side)
-            mem_u8 = self._pad_rows(jnp.stack([s.s1_mem_frame for s in slots]), Bp)
-            key = f"s1Bfull_{(Bp,) + rgb.shape[1:]}_{num_sample_trajs}"
+            spec["mode"] = "full"
+            spec["mem"] = self._pad_rows(
+                jnp.stack([s.s1_mem_frame for s in slots]), Bp)
+            spec["slots"] = slots
+        else:
+            spec["mode"] = "cached"
+            spec["mem"] = self._pad_rows(
+                jnp.stack([s.s1_mem_feats for s in slots]), Bp)
+        return spec
+
+    def _s1_dispatch(self, spec: Dict[str, Any]) -> None:
+        """Dispatch ONE cohort's prepared System-1 denoise (fills
+        spec['handle']['dp'], caching fresh memory features on the slots)."""
+        inner = self.inner
+        nst = spec["nst"]
+        Bp = spec["Bp"]
+        handle = spec["handle"]
+        if spec["mode"] == "noimg":
+            key = f"s1Bnoimg_{Bp}_{nst}"
             if key not in inner._jit_cache:
-                inner._jit_cache[key] = self._s1_full_fn(num_sample_trajs)
+                inner._jit_cache[key] = jax.jit(
+                    lambda p, lat, r: inner.model.apply(
+                        {"params": p},
+                        method=lambda mdl: mdl.generate_traj_nextdit(
+                            lat, None, rng=r, num_sample_trajs=nst)))
+            handle["dp"] = inner._jit_cache[key](
+                inner.params, spec["latents"], spec["rng"])
+            return
+        if spec["mode"] == "full":
+            key = f"s1Bfull_{(Bp,) + spec['hw']}_{nst}"
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = self._s1_full_fn(nst)
             dp_dev, mem_feats = inner._jit_cache[key](
-                inner.params, latents_p, mem_u8,
-                self._pad_rows(cur_u8, Bp), sub)
-            for r, s in enumerate(slots):
+                inner.params, spec["latents"], spec["mem"], spec["cur"],
+                spec["rng"])
+            for r, s in enumerate(spec["slots"]):
                 s.s1_mem_feats = mem_feats[r]  # async device slices
             handle["dp"] = dp_dev
-        else:
-            mem_feats = self._pad_rows(
-                jnp.stack([s.s1_mem_feats for s in slots]), Bp)
-            key = f"s1Bcached_{(Bp,) + rgb.shape[1:]}_{num_sample_trajs}"
-            if key not in inner._jit_cache:
-                inner._jit_cache[key] = self._s1_cached_fn(num_sample_trajs)
-            handle["dp"] = inner._jit_cache[key](
-                inner.params, latents_p, mem_feats,
-                self._pad_rows(cur_u8, Bp), sub)
-        return handle
+            return
+        key = f"s1Bcached_{(Bp,) + spec['hw']}_{nst}"
+        if key not in inner._jit_cache:
+            inner._jit_cache[key] = self._s1_cached_fn(nst)
+        handle["dp"] = inner._jit_cache[key](
+            inner.params, spec["latents"], spec["mem"], spec["cur"],
+            spec["rng"])
 
     def s1_collect(self, handle: Dict[str, Any]) -> List[S1Output]:
         """Fetch + discretize the results of an `s1_submit`."""
@@ -619,6 +699,54 @@ class BatchedN1Policy:
             action_list = [a for a in traj_to_actions(dp[i]) if a != 0]
             outs.append(S1Output(idx=action_list[:4], trajectory=dp[i]))
         return outs
+
+
+def s1_grouped_dispatch(specs: List[Dict[str, Any]]) -> None:
+    """Complete `s1_prepare` specs from SEVERAL cohorts with one denoise
+    program per (mode, sizes, hw, num_sample_trajs) bucket. The System-1
+    program is dominated by depth-sequential small ops (10 Euler steps x
+    12 DiT layers at 384d) whose device time barely grows with rows, so
+    running G cohorts' rows in one program costs far less than G programs.
+    Row-for-row SEMANTICALLY identical to per-cohort `_s1_dispatch`: each
+    cohort block keeps its own rng normal draw (x_init injection), the DiT
+    conditioning layout is batch-major (nextdit.py:156), and every op is
+    row-independent — the only difference is float-epsilon from GEMM
+    reduction blocking at the larger batch (~1e-6 on trajectories,
+    asserted tight in tests/test_serving_shared_s1.py)."""
+    buckets: Dict[tuple, list] = {}
+    for s in specs:
+        if s is None:
+            continue
+        buckets.setdefault((s["mode"], s.get("hw"), s["nst"]), []).append(s)
+    for (mode, hw, nst), items in buckets.items():
+        if len(items) == 1:  # nothing to group
+            items[0]["policy"]._s1_dispatch(items[0])
+            continue
+        pol = items[0]["policy"]
+        inner = pol.inner
+        sizes = tuple(s["Bp"] for s in items)
+        rngs = jnp.stack([s["rng"] for s in items])
+        lat = jnp.concatenate([s["latents"] for s in items])
+        key = f"s1G_{mode}_{sizes}_{hw}_{nst}"
+        if key not in inner._jit_cache:
+            inner._jit_cache[key] = pol._s1_grouped_fn(nst, sizes, mode)
+        mem_feats = None
+        if mode == "noimg":
+            dp = inner._jit_cache[key](inner.params, lat, rngs)
+        else:
+            mem = jnp.concatenate([s["mem"] for s in items])
+            cur = jnp.concatenate([s["cur"] for s in items])
+            out = inner._jit_cache[key](inner.params, lat, mem, cur, rngs)
+            dp, mem_feats = out if mode == "full" else (out, None)
+        off_rows = off_b = 0
+        for s in items:
+            Bp = s["Bp"]
+            s["handle"]["dp"] = dp[off_rows: off_rows + Bp * nst]
+            if mode == "full":
+                for r, sl in enumerate(s["slots"]):
+                    sl.s1_mem_feats = mem_feats[off_b + r]
+            off_rows += Bp * nst
+            off_b += Bp
 
 
 def shared_decode_handles(inner, n_query: int,
@@ -689,6 +817,31 @@ class SharedDecodePool:
     def flush(self) -> None:
         if self.pending:
             shared_decode_handles(self.inner, self.n_query, self.pending)
+            self.pending = []
+
+
+class SharedS1Pool:
+    """Cross-cohort grouped-System-1 coordinator for coroutine schedulers
+    (the vln_pipelined evaluator) — the S1 counterpart of
+    SharedDecodePool. Agents with a pool attached `s1_prepare` their
+    denoise and register the spec here; the first agent to resume calls
+    `flush()`, which dispatches one grouped DiT program per
+    (mode, sizes, hw, nst) bucket covering every pending cohort.
+
+    Compile-shape note: the grouped program is specialized on the tuple of
+    cohort batch sizes, so cohorts whose live-slot counts drift apart
+    compile new shapes (bounded by the pow-2 slot bucketing). Uniform
+    cohorts — the serving steady state — reuse one compile."""
+
+    def __init__(self) -> None:
+        self.pending: List[Dict[str, Any]] = []
+
+    def add(self, spec: Dict[str, Any]) -> None:
+        self.pending.append(spec)
+
+    def flush(self) -> None:
+        if self.pending:
+            s1_grouped_dispatch(self.pending)
             self.pending = []
 
 
@@ -789,6 +942,7 @@ class PipelinedN1Server:
                      max_new_tokens: int = 128, num_sample_trajs: int = 32,
                      s1_calls: int = 2, on_cycle=None,
                      shared_decode: bool = False,
+                     shared_s1: bool = False,
                      host_stats: Optional[Dict[str, list]] = None):
         """Continuous pipelined serving for n_cycles macro-cycles.
 
@@ -799,6 +953,9 @@ class PipelinedN1Server:
         frames_fn(cohort_idx, cycle_idx, phase) -> (B, H, W, 3) frames;
         on_cycle(cohort_idx, cycle_idx, s2_outputs, s1_results) is called
         as each cohort finishes a cycle (bookkeeping hook).
+        shared_s1=True batches every cohort's System-1 denoise of a given
+        micro-step into ONE grouped program (`s1_grouped_dispatch`),
+        row-identical to per-cohort dispatch.
 
         host_stats: optional dict collecting per-call HOST durations in
         seconds under keys s2_submit/s2_collect/s1_submit/s1_collect
@@ -846,6 +1003,23 @@ class PipelinedN1Server:
                         jnp.bfloat16))
             return jnp.concatenate(rows, axis=0)
 
+        def submit_s1(ci, t, call):
+            """Per-cohort S1 dispatch, or prepare-only under shared_s1."""
+            if shared_s1:
+                return timed("s1_submit", self.cohorts[ci].s1_prepare,
+                             frames_fn(ci, t, call), lat[ci],
+                             num_sample_trajs)
+            return timed("s1_submit", self.cohorts[ci].s1_submit,
+                         frames_fn(ci, t, call), lat[ci], num_sample_trajs)
+
+        def flush_s1(specs):
+            """Under shared_s1: one grouped program for every cohort's
+            prepared S1 of this micro-step."""
+            if not shared_s1:
+                return specs
+            timed("s1_grouped", s1_grouped_dispatch, specs)
+            return [s["handle"] for s in specs]
+
         for ci in range(n):
             submit_s2(ci, 0)
         for t in range(n_cycles):
@@ -858,18 +1032,15 @@ class PipelinedN1Server:
                 s2out[ci] = timed("s2_collect", pol.s2_collect, s2h[ci])
                 lat[ci] = latents_of(ci)
                 s1res[ci] = []
-                s1h[ci] = timed("s1_submit", pol.s1_submit,
-                                frames_fn(ci, t, 1), lat[ci],
-                                num_sample_trajs)
+                s1h[ci] = submit_s1(ci, t, 1)
+            s1h = flush_s1(s1h)
             for call in range(1, s1_calls + 1):
                 nxt = [None] * n
                 for ci, pol in enumerate(self.cohorts):
                     s1res[ci].append(
                         timed("s1_collect", pol.s1_collect, s1h[ci]))
                     if call < s1_calls:
-                        nxt[ci] = timed("s1_submit", pol.s1_submit,
-                                        frames_fn(ci, t, call + 1),
-                                        lat[ci], num_sample_trajs)
+                        nxt[ci] = submit_s1(ci, t, call + 1)
                     else:
                         # cycle boundary pipelined: next cycle's S2 goes
                         # into the device queue before other cohorts'
@@ -880,4 +1051,6 @@ class PipelinedN1Server:
                             submit_s2(ci, t + 1)
                         elif on_cycle is not None:
                             on_cycle(ci, t, s2out[ci], s1res[ci])
+                if call < s1_calls:
+                    nxt = flush_s1(nxt)
                 s1h = nxt

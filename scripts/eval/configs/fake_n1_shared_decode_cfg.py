@@ -1,4 +1,5 @@
-"""InternVLA-N1 pipelined serving with SHARED GROUPED DECODE: every
+"""InternVLA-N1 pipelined serving with SHARED GROUPED DECODE + GROUPED
+SYSTEM-1: every
 cohort's greedy S2 decode + traj-latent chunk runs as ONE device program,
 so the ~6.5 GB/token (7B int8) decoder weight stream is paid once per
 token for ALL cohorts instead of once per cohort. Per-episode results are
@@ -33,7 +34,8 @@ eval_cfg = EvalCfg(
                env_settings={"rgb_resolution": [56, 56],
                              "depth_resolution": [56, 56],
                              "cohorts": 2,
-                             "shared_decode": True}),
+                             "shared_decode": True,
+                             "shared_s1": True}),
     task=TaskCfg(max_step=12, metric_config=MetricCfg(success_distance=3.0)),
     dataset=EvalDatasetCfg(
         base_data_dir="data/fake_r2r",

@@ -241,3 +241,48 @@ def test_pipelined_evaluator_shared_decode_matches(tmp_path):
     ref = {k: v for k, v in ref.items() if k not in drop}
     got = {k: v for k, v in got.items() if k not in drop}
     assert got == ref, (got, ref)
+
+
+def test_pipelined_evaluator_shared_s1_matches(tmp_path):
+    """env_settings["shared_s1"]: the pooled grouped System-1 (one DiT
+    program for every cohort's denoise) must produce the SAME per-episode
+    results as per-cohort dispatch — trajectories differ only by GEMM
+    float epsilon, which never flips the discretized actions on this
+    fixture."""
+    from internnav_tpu.configs import (
+        AgentCfg, EnvCfg, EvalCfg, EvalDatasetCfg, TaskCfg,
+    )
+    from internnav_tpu.evaluator import Evaluator
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Config,
+    )
+    from tests.test_eval_e2e import make_episodes
+
+    def run(shared, out):
+        cfg = EvalCfg(
+            agent=AgentCfg(model_name="internvla_n1_batched",
+                           model_settings={"batch_size": 2,
+                                           "max_new_tokens": 4,
+                                           "num_sample_trajs": 2,
+                                           "config": InternVLAN1Config.tiny(
+                                               "nextdit_async")}),
+            env=EnvCfg(env_type="fake", env_num=2,
+                       env_settings={"rgb_resolution": [56, 56],
+                                     "depth_resolution": [56, 56],
+                                     "cohorts": 2,
+                                     "shared_decode": shared,
+                                     "shared_s1": shared}),
+            task=TaskCfg(max_step=3),
+            dataset=EvalDatasetCfg(),
+            eval_type="vln_pipelined",
+            output_dir=str(tmp_path / out),
+        )
+        ev = Evaluator.init(cfg, episodes=make_episodes(5))
+        return ev.eval()
+
+    ref = run(False, "plain_s1")
+    got = run(True, "shared_s1")
+    drop = ("wall_clock_s",)
+    ref = {k: v for k, v in ref.items() if k not in drop}
+    got = {k: v for k, v in got.items() if k not in drop}
+    assert got == ref, (got, ref)

@@ -32,22 +32,28 @@ def test_bench_pipelined_candidate_sweep(monkeypatch, pinned):
     monkeypatch.setattr(bench_mod, "CYCLES", 1)
     monkeypatch.setattr(bench_mod, "NUM_SAMPLE_TRAJS", 4)
 
-    res = bench_mod.bench_pipelined(batch=2, cohorts=2, shared_decode=pinned)
+    res = bench_mod.bench_pipelined(batch=2, cohorts=2, shared_decode=pinned,
+                                    shared_s1=pinned)
 
     assert res["unit"] == "actions/s"
     assert res["value"] > 0
     det = res["detail"]
     tried = det["configs_measured"]
     if pinned is None:
-        # auto mode: both decode modes measured, plus the neighbor count
-        assert {(c["cohorts"], c["shared_decode"]) for c in tried} == {
-            (2, True), (3, True), (2, False)}
+        # auto mode: fully-grouped at both cohort counts, plus the
+        # grouped-decode-only and fully-per-cohort fallbacks
+        assert {(c["cohorts"], c["shared_decode"], c["shared_s1"])
+                for c in tried} == {
+            (2, True, True), (3, True, True), (2, True, False),
+            (2, False, False)}
     else:
-        assert all(c["shared_decode"] is False for c in tried)
+        assert all(c["shared_decode"] is False and c["shared_s1"] is False
+                   for c in tried)
         assert {c["cohorts"] for c in tried} == {2, 3}
     assert all("actions_per_sec" in c or "error" in c for c in tried)
     # the reported headline is the best measured candidate
     best = max(c["actions_per_sec"] for c in tried if "actions_per_sec" in c)
     assert res["value"] == best
     assert det["shared_decode"] in (True, False)
+    assert det["shared_s1"] in (True, False)
     assert det["phase_breakdown"]["s2_blocking_s"] > 0
