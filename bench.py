@@ -138,6 +138,9 @@ def _random_bf16_params(model, cfg, image_hw: int):
             if sd.dtype == jnp.int8:  # int8 weight-only kernels
                 a = jax.random.randint(jax.random.fold_in(key, i), sd.shape,
                                        -127, 128, jnp.int8)
+            elif sd.dtype == jnp.int4:  # int4 (W4A8) weight-only kernels
+                a = jax.random.randint(jax.random.fold_in(key, i), sd.shape,
+                                       -7, 8, jnp.int8).astype(jnp.int4)
             elif name == "scale_q":
                 a = jnp.full(sd.shape, 2e-4, jnp.float32)  # ~0.02/127
             elif name in ("bias", "b_ih", "b_hh"):
@@ -318,7 +321,8 @@ def bench_batched(batch: int) -> dict:
 
 
 def bench_pipelined(batch: int, cohorts: int = 2,
-                    shared_decode=None, shared_s1=None) -> dict:
+                    shared_decode=None, shared_s1=None,
+                    weight_dtype: str = "int8") -> dict:
     """Phase-interleaved multi-cohort serving (serving.PipelinedN1Server):
     while one cohort's host work runs (prompt build, uploads, token
     parsing, fetches), the other cohorts' device programs execute — async
@@ -338,7 +342,7 @@ def bench_pipelined(batch: int, cohorts: int = 2,
         PipelinedN1Server,
     )
 
-    cfg = _full_n1_config(FULL_LAYERS, weight_dtype="int8")
+    cfg = _full_n1_config(FULL_LAYERS, weight_dtype=weight_dtype)
     model = InternVLAN1Model(cfg)
     params = _random_bf16_params(model, cfg, IMAGE_HW)
     instruction = ("walk down the hallway past the kitchen then turn left "
@@ -482,10 +486,11 @@ def bench_pipelined(batch: int, cohorts: int = 2,
             "shared_decode": shared_decode,
             "shared_s1": shared_s1,
             "streams": batch * cohorts,
-            "dims": "full 28-layer Qwen2.5-VL-7B resident, int8 weight-only "
-                    "projections, bf16 activations/KV; independent episode "
-                    "streams in phase-interleaved cohorts (async dispatch, "
-                    "single host thread)",
+            "weight_dtype": weight_dtype,
+            "dims": f"full 28-layer Qwen2.5-VL-7B resident, {weight_dtype} "
+                    "weight-only projections, bf16 activations/KV; "
+                    "independent episode streams in phase-interleaved "
+                    "cohorts (async dispatch, single host thread)",
             "best_stream_s": round(t, 4),
             "cycles_per_stream": CYCLES,
             "configs_measured": tried,
@@ -553,8 +558,11 @@ def bench_full() -> dict:
 
 
 def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
-                        group_size: int = None) -> dict:
+                        group_size: int = None,
+                        weight_bits: int = 8) -> dict:
     """int8-vs-bf16 serving quality at true 7B width (VERDICT r2 #3).
+    weight_bits=4 compares the W4A8 (int4 grouped-128, lm_head int8)
+    serving format against the same bf16 source instead.
 
     Builds ONE random bf16 model at full width (reduced depth: the bf16 and
     int8 trees must be co-resident in 16 GB HBM), quantizes its decoder
@@ -585,10 +593,12 @@ def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
     params_bf = _random_bf16_params(model_bf, cfg_bf, IMAGE_HW)
     pol_bf = InternVLAN1Policy(model_bf, params_bf, cfg_bf)
 
-    cfg_q = _full_n1_config(num_layers, "int8", quant_group_size=group_size)
+    wdt = "int4" if weight_bits == 4 else "int8"
+    cfg_q = _full_n1_config(num_layers, wdt, quant_group_size=group_size)
     params_q = dict(params_bf)  # vision/S1 subtrees shared (same arrays)
     params_q["language_model"] = quantize_qwen_text_params_device(
-        params_bf["language_model"], group_size=group_size)
+        params_bf["language_model"], group_size=group_size,
+        weight_bits=weight_bits)
     pol_q = InternVLAN1Policy(InternVLAN1Model(cfg_q), params_q, cfg_q)
 
     instructions = [
@@ -611,7 +621,7 @@ def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
         rgb2 = np.stack([img, img])[None]
         instr = instructions[i % len(instructions)]
         outs = {}
-        for name, pol in (("bf16", pol_bf), ("int8", pol_q)):
+        for name, pol in (("bf16", pol_bf), ("quant", pol_q)):
             pol.tokenizer.eos_token_id = -7  # full decode budget both sides
             pol.reset()
             pol.rgb_list = [img] * 8
@@ -630,7 +640,7 @@ def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
                 "traj": np.asarray(s1.trajectory, np.float32),
             }
 
-        a, b = outs["bf16"], outs["int8"]
+        a, b = outs["bf16"], outs["quant"]
         n = min(len(a["tokens"]), len(b["tokens"]))
         same = a["tokens"][:n] == b["tokens"][:n]
         agree_num += int(same.sum())
@@ -647,13 +657,14 @@ def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
 
     agreement = agree_num / max(agree_den, 1)
     return {
-        "metric": "int8_vs_bf16_serving_quality_7b_width",
+        "metric": f"{wdt}_vs_bf16_serving_quality_7b_width",
         "value": round(agreement, 4),
         "unit": "greedy_token_agreement",
         "vs_baseline": 1.0,
         "detail": {
             "num_layers": num_layers,
             "group_size": group_size,
+            "weight_dtype": wdt,
             "n_prompts": n_prompts,
             "decode_tokens": DECODE_TOKENS,
             "token_agreement": round(agreement, 4),
@@ -661,7 +672,7 @@ def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
             "traj_latent_rel_l2": round(float(np.mean(latent_rel)), 5),
             "waypoint_mean_l2_m": round(float(np.mean(waypoint_l2)), 5),
             "waypoint_rel_l2": round(float(np.mean(waypoint_rel)), 5),
-            "scheme": "per-output-channel symmetric int8 weight-only "
+            "scheme": f"symmetric {wdt} weight-only "
                       "(deployment quantizer), shared random bf16 source "
                       "weights, identical S1 rng",
             "caveat": "random weights -> near-uniform logits: token "
@@ -740,6 +751,9 @@ def main() -> None:
     ap.add_argument("--quant-group", type=int, default=0,
                     help="per-group(g) int8 scales for --compare-quant "
                          "(0 = per-output-channel)")
+    ap.add_argument("--quant-bits", type=int, default=8, choices=(4, 8),
+                    help="--compare-quant weight bits: 8 = W8A8 (default), "
+                         "4 = W4A8 (grouped-128 scales, lm_head int8)")
     ap.add_argument("--shared-decode", action="store_true",
                     help="pin the shared grouped decode: every cohort's "
                          "greedy decode + traj-latent chunk in ONE grouped "
@@ -755,6 +769,12 @@ def main() -> None:
                          "of a micro-step in ONE device program")
     ap.add_argument("--per-cohort-s1", action="store_true",
                     help="pin per-cohort System-1 dispatch (no grouping)")
+    ap.add_argument("--weight-dtype", type=str, default="int8",
+                    choices=("int8", "int4"),
+                    help="serving quantization of the decoder projections "
+                         "for the pipelined mode: int8 = W8A8 (default); "
+                         "int4 = W4A8 (grouped-128 scales, lm_head int8) — "
+                         "halves the decode weight stream")
     ap.add_argument("--cohorts", type=int, default=3,
                     help="number of phase-interleaved cohorts. The DEFAULT "
                          "mode is pipelined multi-cohort serving — the "
@@ -773,7 +793,8 @@ def main() -> None:
         result = bench_small()
     elif args.compare_quant:
         result = bench_compare_quant(args.quant_layers,
-                                     group_size=args.quant_group or None)
+                                     group_size=args.quant_group or None,
+                                     weight_bits=args.quant_bits)
     elif args.int8:
         result = bench_int8()
     elif args.bf16:
@@ -792,7 +813,8 @@ def main() -> None:
         elif args.per_cohort_s1:
             s1 = False
         result = bench_pipelined(args.batch, args.cohorts,
-                                 shared_decode=shared, shared_s1=s1)
+                                 shared_decode=shared, shared_s1=s1,
+                                 weight_dtype=args.weight_dtype)
     print(json.dumps(result))
 
 

@@ -171,9 +171,12 @@ class InternVLAN1Policy:
             lambda a: jnp.asarray(a, dtype)
             if np.asarray(a).dtype in (np.float32, np.float64) else jnp.asarray(a),
             params)
-        if getattr(cfg.text, "weight_dtype", "bf16") == "int8":
+        wdt = getattr(cfg.text, "weight_dtype", "bf16")
+        if wdt in ("int8", "int4"):
             params["language_model"] = quantize_qwen_text_params(
-                params["language_model"])
+                params["language_model"],
+                weight_bits=4 if wdt == "int4" else 8,
+                group_size=getattr(cfg.text, "quant_group_size", None))
         model = InternVLAN1Model(cfg)
         if tokenizer is None:
             try:
