@@ -109,8 +109,33 @@ class Policy:
         with open(os.path.join(path, WEIGHTS_NAME), "wb") as f:
             f.write(serialization.to_bytes(unfreeze(self.params)))
 
+    #: name of a `internnav_tpu.model.weights.convert` function mapping a
+    #: torch state dict -> this policy's flax param tree. Set by policies
+    #: that have a converter; enables `from_pretrained` on reference-format
+    #: torch checkpoints (auto-detected) in addition to native msgpack.
+    TORCH_CONVERTER_NAME: Optional[str] = None
+
+    _TORCH_EXTS = (".pth", ".pt", ".bin", ".safetensors")
+
+    @classmethod
+    def _is_torch_checkpoint(cls, path: str) -> bool:
+        """True when `path` holds reference-format torch weights rather
+        than the native msgpack format: a torch weight file, or a
+        directory with torch weight files and no params.msgpack."""
+        if os.path.isdir(path):
+            if os.path.exists(os.path.join(path, WEIGHTS_NAME)):
+                return False
+            return any(f.endswith(cls._TORCH_EXTS) for f in os.listdir(path))
+        return path.endswith(cls._TORCH_EXTS)
+
     @classmethod
     def load_params_file(cls, path: str, init_params: Dict) -> Dict:
+        if cls.TORCH_CONVERTER_NAME and cls._is_torch_checkpoint(path):
+            from internnav_tpu.model.weights import convert as _convert
+
+            sd = _convert.load_torch_state_dict(path)
+            converted = getattr(_convert, cls.TORCH_CONVERTER_NAME)(sd)
+            return merge_params(unfreeze(init_params), converted)
         weights_path = os.path.join(path, WEIGHTS_NAME) if os.path.isdir(path) else path
         if not os.path.exists(weights_path):
             raise FileNotFoundError(f"no weights at {weights_path}")
@@ -123,10 +148,22 @@ class Policy:
 
     @classmethod
     def load_config(cls, path: str, default: Optional[ModelCfg] = None) -> ModelCfg:
-        cfg_path = os.path.join(path, CONFIG_NAME)
+        cfg_path = os.path.join(path, CONFIG_NAME) if os.path.isdir(path) \
+            else os.path.join(os.path.dirname(path), CONFIG_NAME)
         if os.path.exists(cfg_path):
-            with open(cfg_path) as f:
-                return ModelCfg.model_validate(json.load(f))
+            try:
+                with open(cfg_path) as f:
+                    return ModelCfg.model_validate(json.load(f))
+            except Exception:
+                # a reference/HF-format config.json next to a torch
+                # checkpoint: not our schema — fall back to the caller's
+                # default (tolerant-loading semantics)
+                if default is not None:
+                    get_logger().warning(
+                        "config at %s is not a native ModelCfg; using the "
+                        "provided default", cfg_path)
+                    return default
+                raise
         if default is not None:
             return default
         raise FileNotFoundError(cfg_path)

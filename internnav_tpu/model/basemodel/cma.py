@@ -162,6 +162,7 @@ class CMAPolicy(Policy):
     (cma_policy.py:327-341)."""
 
     name = "CMA_Policy"
+    TORCH_CONVERTER_NAME = "convert_cma_policy"
 
     @classmethod
     def build(cls, cfg: ModelCfg, rng: Optional[jax.Array] = None) -> "CMAPolicy":

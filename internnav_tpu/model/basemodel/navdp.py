@@ -231,6 +231,7 @@ class NavDPNet(nn.Module):
 
 class NavDPPolicy(Policy):
     name = "NavDP_Policy"
+    TORCH_CONVERTER_NAME = "convert_navdp_policy"
 
     @classmethod
     def build(cls, cfg: ModelCfg, rng: Optional[jax.Array] = None,

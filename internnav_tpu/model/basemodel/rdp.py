@@ -244,6 +244,7 @@ class RDPNet(nn.Module):
 
 class RDPPolicy(Policy):
     name = "RDP_Policy"
+    TORCH_CONVERTER_NAME = "convert_rdp_policy"
 
     ACTION_STATS = {"min": np.asarray([-0.25, -0.25, -0.27]),
                     "max": np.asarray([0.25, 0.25, 0.27])}

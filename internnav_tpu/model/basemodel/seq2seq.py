@@ -95,6 +95,7 @@ class Seq2SeqNet(nn.Module):
 
 class Seq2SeqPolicy(Policy):
     name = "Seq2Seq_Policy"
+    TORCH_CONVERTER_NAME = "convert_seq2seq_policy"
 
     @classmethod
     def build(cls, cfg: ModelCfg, rng: Optional[jax.Array] = None) -> "Seq2SeqPolicy":

@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--fsdp", action="store_true", help="FSDP param sharding")
     ap.add_argument("--resume", action="store_true", default=True)
+    ap.add_argument("--ckpt-to-load", default=None,
+                    help="warm-start checkpoint (native save_pretrained dir "
+                         "or reference-format torch .pth/.safetensors; "
+                         "overrides cfg.il.ckpt_to_load)")
     args = ap.parse_args()
 
     from internnav_tpu.configs import load_py_config
@@ -49,7 +53,16 @@ def main() -> None:
     if args.fsdp:
         cfg.mesh = MeshCfg(axes={"dp": -1}, param_sharding="fsdp")
 
-    policy = get_policy(cfg.model_name).build(cfg.model)
+    policy_cls = get_policy(cfg.model_name)
+    if args.ckpt_to_load:
+        cfg.il.ckpt_to_load = args.ckpt_to_load
+    if cfg.il.ckpt_to_load:
+        # warm-start (reference base_train/train.py:127: from_pretrained on
+        # il.ckpt_to_load — the cma_plus/seq2seq_plus finetune recipe);
+        # native msgpack dirs and torch checkpoints both load (auto-detect)
+        policy = policy_cls.from_pretrained(cfg.il.ckpt_to_load, cfg.model)
+    else:
+        policy = policy_cls.build(cfg.model)
 
     if cfg.model_name in ("cma", "seq2seq"):
         from internnav_tpu.dataset.vln_dataset import make_vln_dataloader

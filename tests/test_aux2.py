@@ -76,6 +76,60 @@ def test_realworld_server_roundtrip():
         server.shutdown()
 
 
+def test_realworld_client_against_server():
+    """scripts/realworld/http_internvla_client.py DualSystemClient drives
+    the real RealWorldServer over HTTP: reset + step produce MPC-tracked
+    velocity commands from the returned trajectory (reference
+    http_internvla_client.py's dual_sys_eval loop on our wire format)."""
+    import importlib.util
+    from pathlib import Path
+
+    from internnav_tpu.realworld.server import RealWorldServer
+
+    spec = importlib.util.spec_from_file_location(
+        "rw_client",
+        Path(__file__).resolve().parents[1]
+        / "scripts/realworld/http_internvla_client.py")
+    rw_client = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw_client)
+
+    class StubAgent:
+        def __init__(self):
+            self.resets = 0
+
+        def step(self, obs):
+            assert obs[0]["instruction_text"] == "go forward"
+            assert obs[0]["rgb"].shape == (8, 8, 3)
+            assert obs[0]["depth"].dtype == np.float32
+            dp = np.zeros((2, 4, 3))
+            dp[:, :, 0] = 1.0
+            return [{"action": [1], "trajectory": dp}]
+
+        def reset(self):
+            self.resets += 1
+
+    agent = StubAgent()
+    server = RealWorldServer(agent, "127.0.0.1", 18332)
+    server.run(background=True)
+    try:
+        client = rw_client.DualSystemClient(
+            "http://127.0.0.1:18332", "go forward", controller="mpc")
+        client.reset()
+        assert agent.resets == 1
+        rgb = np.zeros((8, 8, 3), np.uint8)
+        depth = np.zeros((8, 8), np.float32)
+        v, w, out = client.step(rgb, depth, (0.0, 0.0, 0.0))
+        assert v > 0  # MPC tracks the forward trajectory
+        assert client.last_trajectory.shape == (4, 3)
+        # PID mode exercises the other controller branch
+        client_pid = rw_client.DualSystemClient(
+            "http://127.0.0.1:18332", "go forward", controller="pid")
+        v2, _, _ = client_pid.step(rgb, depth, (0.0, 0.0, 0.0))
+        assert v2 > 0
+    finally:
+        server.shutdown()
+
+
 @pytest.mark.slow
 def test_dialog_agent_asks_and_acts():
     from internnav_tpu.agent import Agent
