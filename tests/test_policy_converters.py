@@ -392,6 +392,23 @@ def test_cma_policy_conversion_forward_parity():
     np.testing.assert_array_equal(
         np.asarray(acts).ravel(), t_logits.argmax(-1).numpy().ravel())
 
+    # warm-start integration: the SAME torch module saved as a reference
+    # checkpoint dir loads through from_pretrained's auto-detect routing
+    # (model/base.py TORCH_CONVERTER_NAME) to the identical param tree
+    import tempfile
+
+    import jax as _jax
+
+    with tempfile.TemporaryDirectory() as d:
+        torch.save(ref.state_dict(), f"{d}/model.pth")
+        pol2 = get_policy("cma").from_pretrained(d, get_config("cma"))
+    leaves = _jax.tree_util.tree_leaves(params)
+    leaves2 = _jax.tree_util.tree_leaves(pol2.params)
+    assert len(leaves) == len(leaves2)
+    for a, b in zip(leaves, leaves2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=1e-6)
+
 
 @pytest.mark.slow
 def test_seq2seq_policy_conversion_forward_parity():
