@@ -5,7 +5,10 @@ from internnav_tpu.configs import AgentCfg, EnvCfg, EvalCfg, EvalDatasetCfg, Tas
 eval_cfg = EvalCfg(
     agent=AgentCfg(model_name="dialog",
                    model_settings={"max_questions": 3}),
-    env=EnvCfg(env_type="habitat"),
+    env=EnvCfg(env_type="habitat",
+               env_settings={
+                   "habitat_config": "scripts/eval/configs/instance_dialog.yaml"
+               }),
     task=TaskCfg(max_step=195),
     dataset=EvalDatasetCfg(base_data_dir="data/vl_ln", split_data_types=["val_unseen"]),
     eval_type="habitat_vln",
