@@ -35,10 +35,13 @@ LOOK_DOWN_ACTION = 5
 def _build_n1_policy(cfg: AgentCfg, settings: Dict[str, Any]):
     """Shared N1 policy construction for the dual-system agents.
 
-    ckpt_path set → load the reference-format torch checkpoint via
-    `InternVLAN1Policy.from_pretrained_torch` at the flagship 7B dims
-    (settings['weight_dtype']='int8' selects the W8A8-resident serving
-    format); otherwise random-init at settings['config'] (default tiny)."""
+    ckpt_path set → load a checkpoint at the flagship 7B dims: a native
+    `save_pretrained` dir (params.msgpack, see
+    scripts/tools/convert_checkpoint.py) via `from_pretrained`, or a
+    reference-format torch checkpoint via `from_pretrained_torch`
+    (settings['weight_dtype']='int8'/'int4' selects the quantized-resident
+    serving formats); otherwise random-init at settings['config']
+    (default tiny)."""
     import os
 
     from internnav_tpu.model.basemodel.internvla_n1.model import (
@@ -54,6 +57,8 @@ def _build_n1_policy(cfg: AgentCfg, settings: Dict[str, Any]):
         if n1_cfg is None:
             n1_cfg = InternVLAN1Config.qwen25vl_7b(
                 system1, weight_dtype=settings.get("weight_dtype", "bf16"))
+        if os.path.exists(os.path.join(cfg.ckpt_path, "params.msgpack")):
+            return InternVLAN1Policy.from_pretrained(cfg.ckpt_path, n1_cfg)
         return InternVLAN1Policy.from_pretrained_torch(cfg.ckpt_path, n1_cfg)
     if n1_cfg is None:
         n1_cfg = InternVLAN1Config.tiny(system1)

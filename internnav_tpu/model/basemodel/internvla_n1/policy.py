@@ -145,6 +145,66 @@ class InternVLAN1Policy:
         return (self.tokenizer.eos_token_id,)
 
     # ------------------------------------------------------------ lifecycle
+    def save_pretrained(self, path: str, image_hw: int = 56) -> None:
+        """Write a native checkpoint dir: config.json (informational) +
+        params.msgpack. int4 leaves are stored as int8 values (lossless —
+        values live in [-8, 7]; msgpack has no 4-bit type) and restored to
+        int4 by from_pretrained via the init tree's dtypes."""
+        import dataclasses as _dc
+        import json as _json
+        import os as _os
+
+        import jax
+        from flax import serialization
+
+        _os.makedirs(path, exist_ok=True)
+        info = {
+            "policy": self.name,
+            "system1": self.cfg.system1,
+            "weight_dtype": getattr(self.cfg.text, "weight_dtype", "bf16"),
+            "text": {k: str(v) for k, v in
+                     _dc.asdict(self.cfg.text).items()},
+            "note": "config.json is informational; pass the "
+                    "InternVLAN1Config to from_pretrained",
+        }
+        with open(_os.path.join(path, "config.json"), "w") as f:
+            _json.dump(info, f, indent=2)
+        tree = jax.tree_util.tree_map(
+            lambda a: np.asarray(a.astype(jnp.int8))
+            if hasattr(a, "dtype") and a.dtype == jnp.int4 else np.asarray(a),
+            self.params)
+        with open(_os.path.join(path, "params.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(tree))
+
+    @classmethod
+    def from_pretrained(cls, path: str, cfg: InternVLAN1Config,
+                        tokenizer=None,
+                        image_hw: int = 56) -> "InternVLAN1Policy":
+        """Load a native save_pretrained dir. Leaf dtypes (incl. int4 and
+        bf16) are restored from an eval_shape of the init — no full random
+        init is materialized."""
+        import os as _os
+
+        import jax
+        from flax import serialization
+
+        with open(_os.path.join(path, "params.msgpack"), "rb") as f:
+            loaded = serialization.msgpack_restore(f.read())
+        model = InternVLAN1Model(cfg)
+        shapes = jax.eval_shape(
+            lambda rng: cls._init_params(model, cfg, rng, image_hw),
+            jax.random.PRNGKey(0))
+
+        def restore(sd, leaf):
+            a = jnp.asarray(leaf)
+            if tuple(a.shape) != tuple(sd.shape):
+                raise ValueError(
+                    f"checkpoint leaf shape {a.shape} != model {sd.shape}")
+            return a.astype(sd.dtype)
+
+        params = jax.tree_util.tree_map(restore, shapes, loaded)
+        return cls(model, params, cfg, tokenizer=tokenizer)
+
     @classmethod
     def from_pretrained_torch(cls, path: str, cfg: InternVLAN1Config,
                               tokenizer=None) -> "InternVLAN1Policy":
