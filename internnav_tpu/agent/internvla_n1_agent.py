@@ -54,10 +54,23 @@ def _build_n1_policy(cfg: AgentCfg, settings: Dict[str, Any]):
     system1 = settings.get("system1", "nextdit_async")
     n1_cfg = settings.get("config")
     if cfg.ckpt_path and os.path.exists(cfg.ckpt_path):
+        native = os.path.exists(os.path.join(cfg.ckpt_path, "params.msgpack"))
         if n1_cfg is None:
+            wdt = settings.get("weight_dtype")
+            if wdt is None and native:
+                # honor the serving format recorded at conversion time
+                # (scripts/tools/convert_checkpoint.py) instead of
+                # defaulting to bf16 and failing on the quantized tree
+                import json
+
+                try:
+                    with open(os.path.join(cfg.ckpt_path, "config.json")) as f:
+                        wdt = json.load(f).get("weight_dtype")
+                except Exception:
+                    wdt = None
             n1_cfg = InternVLAN1Config.qwen25vl_7b(
-                system1, weight_dtype=settings.get("weight_dtype", "bf16"))
-        if os.path.exists(os.path.join(cfg.ckpt_path, "params.msgpack")):
+                system1, weight_dtype=wdt or "bf16")
+        if native:
             return InternVLAN1Policy.from_pretrained(cfg.ckpt_path, n1_cfg)
         return InternVLAN1Policy.from_pretrained_torch(cfg.ckpt_path, n1_cfg)
     if n1_cfg is None:

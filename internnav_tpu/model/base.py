@@ -153,15 +153,30 @@ class Policy:
         if os.path.exists(cfg_path):
             try:
                 with open(cfg_path) as f:
-                    return ModelCfg.model_validate(json.load(f))
-            except Exception:
+                    raw = json.load(f)
+                # ModelCfg has every field defaulted + extra='allow', so ANY
+                # dict "validates" — an HF/reference config.json next to a
+                # torch checkpoint would silently become a defaults-populated
+                # ModelCfg and replace the caller's real config. Require the
+                # file to actually look native (save_pretrained dumps every
+                # ModelCfg field) before trusting it.
+                if not isinstance(raw, dict):
+                    raise ValueError("config.json is not a mapping")
+                native_keys = set(ModelCfg.model_fields)
+                if len(native_keys & set(raw)) < max(1, len(native_keys) // 2):
+                    raise ValueError(
+                        f"config.json shares "
+                        f"{len(native_keys & set(raw))}/{len(native_keys)} "
+                        "keys with ModelCfg — not a native config")
+                return ModelCfg.model_validate(raw)
+            except Exception as e:
                 # a reference/HF-format config.json next to a torch
                 # checkpoint: not our schema — fall back to the caller's
                 # default (tolerant-loading semantics)
                 if default is not None:
                     get_logger().warning(
-                        "config at %s is not a native ModelCfg; using the "
-                        "provided default", cfg_path)
+                        "config at %s is not a native ModelCfg (%s); using "
+                        "the provided default", cfg_path, e)
                     return default
                 raise
         if default is not None:

@@ -145,7 +145,7 @@ class InternVLAN1Policy:
         return (self.tokenizer.eos_token_id,)
 
     # ------------------------------------------------------------ lifecycle
-    def save_pretrained(self, path: str, image_hw: int = 56) -> None:
+    def save_pretrained(self, path: str) -> None:
         """Write a native checkpoint dir: config.json (informational) +
         params.msgpack. int4 leaves are stored as int8 values (lossless —
         values live in [-8, 7]; msgpack has no 4-bit type) and restored to
@@ -188,6 +188,21 @@ class InternVLAN1Policy:
         import jax
         from flax import serialization
 
+        import json as _json
+
+        info_path = _os.path.join(path, "config.json")
+        if _os.path.exists(info_path):
+            with open(info_path) as f:
+                info = _json.load(f)
+            saved_wdt = info.get("weight_dtype")
+            want_wdt = getattr(cfg.text, "weight_dtype", "bf16")
+            if saved_wdt and saved_wdt != want_wdt:
+                raise ValueError(
+                    f"checkpoint at {path} was saved with "
+                    f"weight_dtype={saved_wdt!r} but the config asks for "
+                    f"{want_wdt!r} — pass a matching InternVLAN1Config "
+                    f"(e.g. qwen25vl_7b(weight_dtype={saved_wdt!r})) or "
+                    "re-convert the checkpoint")
         with open(_os.path.join(path, "params.msgpack"), "rb") as f:
             loaded = serialization.msgpack_restore(f.read())
         model = InternVLAN1Model(cfg)
@@ -203,6 +218,18 @@ class InternVLAN1Policy:
             return a.astype(sd.dtype)
 
         params = jax.tree_util.tree_map(restore, shapes, loaded)
+        if tokenizer is None:
+            # tokenizer assets are copied into the dir by
+            # scripts/tools/convert_checkpoint.py — a real checkpoint must
+            # NOT silently fall back to the hash SimpleTokenizer
+            try:
+                from internnav_tpu.model.utils.tokenization import (
+                    load_hf_tokenizer,
+                )
+
+                tokenizer = load_hf_tokenizer(path)
+            except Exception:
+                tokenizer = None
         return cls(model, params, cfg, tokenizer=tokenizer)
 
     @classmethod

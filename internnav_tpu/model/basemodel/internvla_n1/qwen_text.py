@@ -180,19 +180,30 @@ class QuantDense(nn.Module):
         return y.astype(self.dtype)
 
 
-def _proj(cfg: QwenTextConfig, features: int, use_bias: bool, name: str):
-    """Dense or QuantDense per cfg.weight_dtype ('bf16' / 'int8' / 'int4').
-
-    int4 (W4A8) keeps the lm_head at 8 bits: its logit argmax is the one
+def _wbits_for(name: str, weight_bits: int) -> int:
+    """THE W4A8 mixed-precision rule, shared by _proj and both
+    quantizers: the lm_head stays at 8 bits (its logit argmax is the one
     place 4-bit rounding visibly moves greedy tokens, and it is a single
-    matrix (~2% of the decode weight stream) — standard mixed-precision
-    deployment practice."""
+    matrix — ~2% of the decode weight stream)."""
+    return 8 if (weight_bits == 4 and name == "lm_head") else weight_bits
+
+
+def _effective_group(group_size, weight_bits: int):
+    """int4 defaults to grouped(128) scales (per-channel int4 is too
+    coarse); int8 keeps the caller's choice."""
+    if weight_bits == 4 and group_size is None:
+        return 128
+    return group_size
+
+
+def _proj(cfg: QwenTextConfig, features: int, use_bias: bool, name: str):
+    """Dense or QuantDense per cfg.weight_dtype ('bf16' / 'int8' /
+    'int4'); the int4 layout rules live in _wbits_for/_effective_group."""
     gs = getattr(cfg, "quant_group_size", None)
     if cfg.weight_dtype == "int4":
-        bits = 8 if name == "lm_head" else 4
         return QuantDense(features, use_bias=use_bias, dtype=cfg.dtype,
-                          group_size=128 if gs is None else gs,
-                          weight_bits=bits, name=name)
+                          group_size=_effective_group(gs, 4),
+                          weight_bits=_wbits_for(name, 4), name=name)
     if cfg.weight_dtype == "int8":
         return QuantDense(features, use_bias=use_bias, dtype=cfg.dtype,
                           group_size=gs, name=name)
@@ -220,8 +231,7 @@ def quantize_qwen_text_params(params: Dict, per_channel_axis: int = 0,
     group_size divides the input dim. weight_bits=4 stores kernel_q as
     jnp.int4 with grouped(128) scales by default and keeps the lm_head at
     8 bits (matching _proj's mixed-precision layout)."""
-    if weight_bits == 4 and group_size is None:
-        group_size = 128
+    group_size = _effective_group(group_size, weight_bits)
 
     def _q(w, bits, gs):
         qmax = 7.0 if bits == 4 else 127.0
@@ -243,8 +253,7 @@ def quantize_qwen_text_params(params: Dict, per_channel_axis: int = 0,
         for k, v in tree.items():
             if isinstance(v, dict):
                 if "kernel" in v and k != "embed_tokens":
-                    bits = 8 if (weight_bits == 4 and k == "lm_head") \
-                        else weight_bits
+                    bits = _wbits_for(k, weight_bits)
                     w = np.asarray(v["kernel"], np.float32)
                     q, s = _q(w, bits, group_size)
                     new = {"kernel_q": q, "scale_q": s}
@@ -275,8 +284,7 @@ def quantize_qwen_text_params_device(params: Dict,
     import jax
     from functools import partial
 
-    if weight_bits == 4 and group_size is None:
-        group_size = 128
+    group_size = _effective_group(group_size, weight_bits)
 
     @partial(jax.jit, static_argnums=1)
     def q(w, bits):
@@ -304,8 +312,7 @@ def quantize_qwen_text_params_device(params: Dict,
         for k, v in tree.items():
             if isinstance(v, dict):
                 if "kernel" in v and k != "embed_tokens":
-                    bits = 8 if (weight_bits == 4 and k == "lm_head") \
-                        else weight_bits
+                    bits = _wbits_for(k, weight_bits)
                     w = v["kernel"]
                     if group_size and w.shape[0] % int(group_size) == 0:
                         qk, s = q_grouped(w, bits)

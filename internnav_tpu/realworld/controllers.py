@@ -143,6 +143,20 @@ class MPCController:
 def trajectory_to_vw(trajectory: np.ndarray, pose=(0.0, 0.0, 0.0),
                      controller: Optional[MPCController] = None) -> Tuple[float, float]:
     """S1 waypoint trajectory → immediate (v, w) command (reference
-    trajectory_tovw used by the realworld async agent)."""
+    trajectory_tovw used by the realworld async agent).
+
+    `trajectory` is in the ROBOT frame (System-1 waypoints always are);
+    the controllers' cost runs in absolute odom coordinates, so the path
+    is rotated by the robot's yaw and translated to its position first.
+    The reference's own controller is pose-free proportional control on
+    the robot-frame subgoal (internvla_n1_agent_realworld.py:120-125) —
+    equivalent at pose (0, 0, 0), frame-correct everywhere else."""
     controller = controller or MPCController()
-    return controller.step(pose, np.asarray(trajectory)[:, :2])
+    local_xy = np.asarray(trajectory, np.float32)[:, :2]
+    x0, y0, yaw = (float(pose[0]), float(pose[1]), float(pose[2]))
+    c, s = np.cos(yaw), np.sin(yaw)
+    world_xy = np.stack([
+        x0 + c * local_xy[:, 0] - s * local_xy[:, 1],
+        y0 + s * local_xy[:, 0] + c * local_xy[:, 1],
+    ], axis=1)
+    return controller.step(pose, world_xy)

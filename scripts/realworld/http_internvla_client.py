@@ -54,10 +54,11 @@ class DualSystemClient:
 
     def __init__(self, url: str, instruction: str,
                  controller: str = "mpc",
-                 http_fn=None):
+                 http_fn=None, timeout_s: float = 30.0):
         self.url = url.rstrip("/")
         self.instruction = instruction
         self.controller_name = controller
+        self.timeout_s = timeout_s
         self.mpc = MPCController()
         self.pid = PIDController()
         self.last_trajectory: Optional[np.ndarray] = None
@@ -71,7 +72,7 @@ class DualSystemClient:
         req = urllib.request.Request(
             self.url + route, data=json.dumps(body).encode(),
             headers={"Content-Type": "application/json"}, method="POST")
-        with urllib.request.urlopen(req, timeout=120) as resp:
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
             return json.loads(resp.read())
 
     def reset(self) -> None:
@@ -95,14 +96,20 @@ class DualSystemClient:
         out = self._http("/eval_dual", body)
         traj = out.get("trajectory")
         if traj:
-            # server returns per-step (dx, dy, dyaw) deltas in the robot
-            # frame; integrate to a reference path and track it
+            # server returns per-step (dx, dy, dyaw) deltas in the ROBOT
+            # frame; integrate to a robot-frame path. trajectory_to_vw
+            # transforms it into the odom frame against `pose` before the
+            # MPC tracks it; the PID branch transforms its subgoal here.
             self.last_trajectory = np.asarray(traj, np.float32)
-            ref_xy = np.cumsum(self.last_trajectory[:, :2] / 4.0, axis=0)
+            local_xy = np.cumsum(self.last_trajectory[:, :2] / 4.0, axis=0)
             if self.controller_name == "mpc":
-                v, w = trajectory_to_vw(ref_xy, pose, self.mpc)
+                v, w = trajectory_to_vw(local_xy, pose, self.mpc)
             else:
-                v, w = self.pid.step(pose, ref_xy[min(1, len(ref_xy) - 1)])
+                gx, gy = local_xy[min(1, len(local_xy) - 1)]
+                x0, y0, yaw = map(float, pose)
+                c, s = np.cos(yaw), np.sin(yaw)
+                target = (x0 + c * gx - s * gy, y0 + s * gx + c * gy)
+                v, w = self.pid.step(pose, target)
         else:
             v, w = float(out.get("v", 0.0)), float(out.get("w", 0.0))
         return v, w, out
@@ -182,8 +189,17 @@ class RosClientNode:
     def _on_tick(self):
         if self.latest["rgb"] is None:
             return
-        v, w, _ = self.client.step(self.latest["rgb"], self.latest["depth"],
-                                   self.latest["pose"])
+        # the HTTP call blocks this single-threaded executor (odom/image
+        # callbacks starve during inference) — on any failure or timeout,
+        # publish a zero Twist so a hung server cannot leave the robot
+        # executing the last nonzero command
+        try:
+            v, w, _ = self.client.step(self.latest["rgb"],
+                                       self.latest["depth"],
+                                       self.latest["pose"])
+        except Exception as e:
+            self.node.get_logger().warning(f"inference step failed: {e!r}")
+            v, w = 0.0, 0.0
         cmd = self._twist_cls()
         cmd.linear.x = float(v)
         cmd.angular.z = float(w)

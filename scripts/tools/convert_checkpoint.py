@@ -37,6 +37,11 @@ def main() -> None:
                     help="internvla_n1 only: W4A8 (grouped-128) format")
     args = ap.parse_args()
 
+    if args.int8 and args.int4:
+        ap.error("--int8 and --int4 are mutually exclusive")
+    if (args.int8 or args.int4) and args.model != "internvla_n1":
+        ap.error("--int8/--int4 apply only to --model internvla_n1")
+
     if args.model == "internvla_n1":
         from internnav_tpu.model.basemodel.internvla_n1.model import (
             InternVLAN1Config,
@@ -49,6 +54,20 @@ def main() -> None:
         cfg = InternVLAN1Config.qwen25vl_7b(weight_dtype=wdt)
         pol = InternVLAN1Policy.from_pretrained_torch(args.src, cfg)
         pol.save_pretrained(args.dst)
+        # carry the tokenizer assets over so the native checkpoint loads
+        # the real Qwen BPE tokenizer (from_pretrained falls back to the
+        # hash SimpleTokenizer only when none are present)
+        import os
+        import shutil
+
+        if os.path.isdir(args.src):
+            for name in ("tokenizer.json", "tokenizer_config.json",
+                         "vocab.json", "merges.txt",
+                         "special_tokens_map.json", "chat_template.json",
+                         "preprocessor_config.json", "generation_config.json"):
+                p = os.path.join(args.src, name)
+                if os.path.exists(p):
+                    shutil.copy2(p, os.path.join(args.dst, name))
     else:
         from internnav_tpu.model import get_config, get_policy
 

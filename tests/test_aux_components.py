@@ -217,6 +217,26 @@ def test_controllers():
                       np.ndarray)
 
 
+def test_trajectory_to_vw_is_frame_correct():
+    """trajectory_to_vw takes a ROBOT-frame path and must drive forward
+    regardless of where the robot sits in the odom frame — before the
+    frame fix it steered toward odom (0,0)."""
+    from internnav_tpu.realworld.controllers import (
+        MPCController,
+        trajectory_to_vw,
+    )
+
+    fwd = np.cumsum(np.full((4, 2), [0.25, 0.0]), axis=0)  # straight ahead
+    poses = [(0.0, 0.0, 0.0),
+             (5.0, -3.0, 0.0),           # far from origin, facing +x
+             (5.0, -3.0, np.pi / 2),     # far from origin, facing +y
+             (-2.0, 7.0, np.pi)]         # facing -x
+    for pose in poses:
+        v, w = trajectory_to_vw(fwd, pose, MPCController())
+        assert v > 0.05, (pose, v, w)        # forward, not back to origin
+        assert abs(w) < 0.2, (pose, v, w)    # straight path -> little turn
+
+
 @pytest.mark.slow
 def test_dialog_evaluator(tmp_path):
     from internnav_tpu.configs import AgentCfg, EnvCfg, EvalCfg, TaskCfg

@@ -25,7 +25,7 @@ def test_n1_native_checkpoint_roundtrip(tmp_path, wdt):
             quant_group_size=16 if wdt == "int4" else None))
     pol = InternVLAN1Policy.build(cfg, image_hw=56)
     d = str(tmp_path / wdt)
-    pol.save_pretrained(d, image_hw=56)
+    pol.save_pretrained(d)
     pol2 = InternVLAN1Policy.from_pretrained(d, cfg, image_hw=56)
 
     leaves = jax.tree_util.tree_leaves(pol.params)
@@ -39,3 +39,11 @@ def test_n1_native_checkpoint_roundtrip(tmp_path, wdt):
             np.asarray(a.astype(jnp.float32)),
             np.asarray(b.astype(jnp.float32)))
     assert saw_int4 == (wdt == "int4")
+
+    # a config whose weight_dtype disagrees with the checkpoint must fail
+    # with a CLEAR error, not a pytree-structure mismatch deep in restore
+    other = dataclasses.replace(
+        cfg, text=dataclasses.replace(
+            cfg.text, weight_dtype="bf16" if wdt == "int4" else "int4"))
+    with pytest.raises(ValueError, match="weight_dtype"):
+        InternVLAN1Policy.from_pretrained(d, other, image_hw=56)

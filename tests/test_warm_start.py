@@ -85,18 +85,35 @@ def test_load_params_file_routes_torch_through_converter(tmp_path, monkeypatch):
 def test_load_config_falls_back_on_foreign_config_json(tmp_path):
     """An HF/reference-style config.json next to a torch checkpoint is not
     our ModelCfg schema — load_config must fall back to the provided
-    default instead of raising (tolerant-loading semantics)."""
+    default instead of raising (tolerant-loading semantics). Because
+    ModelCfg is all-defaulted with extra='allow', ANY dict would
+    "validate": load_config requires the file to share ModelCfg's own
+    keys before trusting it, so a dict-shaped HF config (the realistic
+    case) also falls back rather than silently becoming a
+    defaults-populated ModelCfg."""
     from internnav_tpu.configs.model import ModelCfg
 
     d = tmp_path / "hf_ckpt"
     d.mkdir()
-    # pydantic extra='allow' accepts unknown keys, so use a non-dict to
-    # guarantee a validation failure like HF's list-valued architectures
-    (d / CONFIG_NAME).write_text(json.dumps(["not", "a", "model", "cfg"]))
+    # realistic HF-style config: a dict with zero ModelCfg keys
+    (d / CONFIG_NAME).write_text(json.dumps({
+        "architectures": ["Qwen2_5_VLForConditionalGeneration"],
+        "hidden_size": 3584, "num_hidden_layers": 28,
+        "model_type": "qwen2_5_vl", "torch_dtype": "bfloat16",
+    }))
     default = ModelCfg()
     assert Policy.load_config(str(d), default=default) is default
     with pytest.raises(Exception):
         Policy.load_config(str(d))
+
+    # a native save_pretrained config (full model_dump) still validates
+    d2 = tmp_path / "native_ckpt"
+    d2.mkdir()
+    native = ModelCfg(num_actions=7)
+    (d2 / CONFIG_NAME).write_text(json.dumps(native.model_dump(),
+                                             default=str))
+    loaded = Policy.load_config(str(d2))
+    assert loaded.num_actions == 7
 
 
 def test_policies_declare_their_converters():
