@@ -270,5 +270,102 @@ def register() -> None:
         def get_obs(self):
             return self.impl.get_obs()
 
-    _ = (VLNEvalTask, VLNCamera, VLNH1Robot, VlnMoveBySpeedController)
+    def _yaw_from_quat_wxyz(q):
+        w, x, y, z = (float(v) for v in np.asarray(q).ravel()[:4])
+        return np.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
+
+    def _quat_wxyz_from_yaw(yaw):
+        # roll/pitch zeroed on purpose: accumulated tilt over a long path
+        # would topple the teleported robot (reference
+        # vln_move_by_flash_with_collision_controller.py:42-87)
+        return np.array([np.cos(yaw / 2.0), 0.0, 0.0, np.sin(yaw / 2.0)])
+
+    @BaseController.register("VlnMoveByFlashController")
+    class VlnMoveByFlashController(BaseController):  # noqa: F811
+        """Teleport ('flash') locomotion: forward 0.25 m / turn 15° per
+        discrete action, joint state zeroed after each teleport
+        (reference controller :160-183; pose math :42-87)."""
+
+        def __init__(self, config, robot, scene):
+            super().__init__(config=config, robot=robot, scene=scene)
+            self.forward_distance = getattr(config, "forward_distance", 0.25)
+            self.rotation_angle = getattr(config, "rotation_angle", 15.0)
+
+        def _new_pose(self, pos, quat, action):
+            yaw = _yaw_from_quat_wxyz(quat)
+            if action == 1:  # forward
+                d = self.forward_distance
+                return pos + np.array([d * np.cos(yaw), d * np.sin(yaw), 0.0]), quat
+            if action == 2:  # left
+                return pos, _quat_wxyz_from_yaw(yaw + np.deg2rad(self.rotation_angle))
+            if action == 3:  # right
+                return pos, _quat_wxyz_from_yaw(yaw - np.deg2rad(self.rotation_angle))
+            return pos, quat
+
+        def _allow(self, action, new_pos):
+            return True
+
+        def _teleport(self, pos, quat):
+            art = self.robot.articulation
+            inner = getattr(art, "_articulation", art)
+            inner.set_world_pose(position=pos, orientation=quat)
+            n = len(art.dof_names)
+            if hasattr(inner, "set_world_velocity"):
+                inner.set_world_velocity(np.zeros(6))
+            inner.set_joint_velocities(np.zeros(n))
+            inner.set_joint_positions(np.zeros(n))
+            inner.set_joint_efforts(np.zeros(n))
+
+        def action_to_control(self, action):
+            from internutopia.core.robot.articulation import ArticulationAction
+
+            a = int(np.asarray(action).ravel()[0])
+            pos, quat = self.robot.articulation.get_world_pose()
+            new_pos, new_quat = self._new_pose(np.asarray(pos, np.float64),
+                                               np.asarray(quat), a)
+            if self._allow(a, new_pos):
+                self._teleport(new_pos, new_quat)
+            return ArticulationAction()
+
+        def get_obs(self):
+            return {"finished": True}
+
+    @BaseController.register("VlnMoveByFlashCollisionController")
+    class VlnMoveByFlashCollisionController(VlnMoveByFlashController):  # noqa: F811
+        """Flash teleport with top-down occupancy collision checks: a
+        forward teleport is aborted when the target footprint intersects
+        non-free space in the `topdown_camera_500` depth map
+        (reference check_collision :139-160; free-space extraction and
+        pixel transforms live in internnav_tpu/env/occupancy.py)."""
+
+        def _allow(self, action, new_pos):
+            if action != 1:
+                return True
+            cam = self.robot.sensors.get("topdown_camera_500")
+            if cam is None:
+                return True
+            from internnav_tpu.env.occupancy import make_occupancy_checker
+
+            robot_type = "aliengo" \
+                if "Aliengo" in getattr(self.robot.config, "type", "") else "h1"
+            is_occupied = make_occupancy_checker(
+                get_depth=lambda: np.asarray(cam.get_data()["depth"]),
+                get_camera_xy=lambda: np.asarray(cam.get_world_pose()[0]),
+                get_base_height=lambda: float(
+                    self.robot.get_robot_base().get_world_pose()[0][2]),
+                resolution=tuple(cam.resolution),
+                robot_type=robot_type,
+                get_ankle_height=(lambda: float(self.robot.get_ankle_height()))
+                if robot_type == "aliengo" else None,
+            )
+            if is_occupied(float(new_pos[0]), float(new_pos[1])):
+                from internnav_tpu.utils.logging import get_logger
+
+                get_logger("isaac_ext").info(
+                    "[FLASH CONTROLLER]: collision detected, flash abort")
+                return False
+            return True
+
+    _ = (VLNEvalTask, VLNCamera, VLNH1Robot, VlnMoveBySpeedController,
+         VlnMoveByFlashController, VlnMoveByFlashCollisionController)
     _REGISTERED = True
