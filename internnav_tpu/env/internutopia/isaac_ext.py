@@ -270,6 +270,82 @@ def register() -> None:
         def get_obs(self):
             return self.impl.get_obs()
 
+    def _speed_impl(robot):
+        """The loco-policy H1SpeedController owned by the robot's
+        registered speed controller (the reference routes StandStill /
+        Discrete through sub_controllers[0] — same delegation, resolved
+        lazily because controller construction order isn't guaranteed)."""
+        ctrl = robot.controllers.get("vln_move_by_speed") \
+            or robot.controllers.get("vln_dp_move_by_speed")
+        if ctrl is None:  # any registered speed controller binding
+            ctrl = next((c for c in robot.controllers.values()
+                         if hasattr(c, "impl")), None)
+        return getattr(ctrl, "impl", None)
+
+    @BaseController.register("StandStillController")
+    class StandStillController(BaseController):  # noqa: F811
+        """Zero-velocity locomotion (reference stand_still.py:12-46):
+        the loco policy balances in place."""
+
+        def action_to_control(self, action):
+            from internutopia.core.robot.articulation import ArticulationAction
+
+            impl = _speed_impl(self.robot)
+            if impl is None:
+                return ArticulationAction()
+            targets = impl.forward(self.robot.robot_state(),
+                                   forward_speed=0.0, rotation_speed=0.0,
+                                   lateral_speed=0.0)
+            return ArticulationAction(joint_positions=targets)
+
+        def get_obs(self):
+            return {"finished": True}
+
+    @BaseController.register("DiscreteController")
+    class DiscreteController(BaseController):  # noqa: F811
+        """Habitat-style discrete action walked by the loco policy over
+        steps_per_action physics substeps (reference
+        discrete_controller.py:16-94): speeds derive from
+        distance/angle x physics_frequency / steps_per_action."""
+
+        def __init__(self, config, robot, scene):
+            super().__init__(config=config, robot=robot, scene=scene)
+            self.steps_per_action = getattr(config, "steps_per_action",
+                                            None) or 200
+            fd = getattr(config, "forward_distance", None) or 0.25
+            ra = getattr(config, "rotation_angle", None) or 15.0
+            pf = getattr(config, "physics_frequency", None) or 240
+            self.forward_speed = fd / self.steps_per_action * pf
+            self.rotation_speed = np.deg2rad(ra / self.steps_per_action * pf)
+            self.current_action = None
+            self.current_steps = 0
+
+        def action_to_control(self, action):
+            from internutopia.core.robot.articulation import ArticulationAction
+
+            a = int(np.asarray(action).ravel()[0])
+            if self.current_action != a:
+                self.current_action = a
+                self.current_steps = 0
+            self.current_steps += 1
+            v = self.forward_speed if a == 1 else 0.0
+            w = {2: self.rotation_speed, 3: -self.rotation_speed}.get(a, 0.0)
+            impl = _speed_impl(self.robot)
+            if impl is None:
+                return ArticulationAction()
+            targets = impl.forward(self.robot.robot_state(),
+                                   forward_speed=v, rotation_speed=w,
+                                   lateral_speed=0.0)
+            return ArticulationAction(joint_positions=targets)
+
+        def get_obs(self):
+            finished = self.current_steps >= self.steps_per_action
+            if finished:
+                self.current_action = None
+            return {"current_action": self.current_action,
+                    "current_steps": self.current_steps,
+                    "finished": finished}
+
     def _yaw_from_quat_wxyz(q):
         w, x, y, z = (float(v) for v in np.asarray(q).ravel()[:4])
         return np.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
@@ -367,5 +443,6 @@ def register() -> None:
             return True
 
     _ = (VLNEvalTask, VLNCamera, VLNH1Robot, VlnMoveBySpeedController,
+         StandStillController, DiscreteController,
          VlnMoveByFlashController, VlnMoveByFlashCollisionController)
     _REGISTERED = True
