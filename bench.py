@@ -782,6 +782,34 @@ def main() -> None:
                          "serves cohorts x batch episode streams per chip")
     args = ap.parse_args()
 
+    # Fail FAST with a diagnostic JSON line if the device backend is
+    # unreachable: on this environment the tunneled TPU's sitecustomize
+    # blocks `import jax` indefinitely during a tunnel outage, which would
+    # otherwise hang the whole bench run silently. Probe in a subprocess
+    # with a generous timeout (first device attach can take minutes).
+    import os as _os
+    import subprocess as _sp
+    import sys as _sys
+
+    if not _os.environ.get("INTERNNAV_TPU_SKIP_DEVICE_PROBE"):
+        try:
+            _sp.run(
+                [_sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                timeout=600, check=True, capture_output=True)
+        except Exception as e:
+            print(json.dumps({
+                "metric": "internvla_n1_dual_system_actions_per_sec_per_chip_7b_pipelined",
+                "value": 0.0,
+                "unit": "actions/s",
+                "vs_baseline": 0.0,
+                "error": f"device backend unreachable (jax.devices() probe "
+                         f"failed: {type(e).__name__}) — TPU tunnel down? "
+                         "See BENCH_r02.json for the last healthy run "
+                         "(87.74 actions/s, vs_baseline 4.147).",
+            }))
+            return
+
     import jax
 
     # persistent compile cache: repeat bench runs skip the long remote
