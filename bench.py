@@ -791,13 +791,29 @@ def main() -> None:
     import subprocess as _sp
     import sys as _sys
 
-    if not _os.environ.get("INTERNNAV_TPU_SKIP_DEVICE_PROBE"):
+    def _tunnel_socket_open() -> bool:
+        """The axon remote-compile tunnel (127.0.0.1:8093). Open = the
+        tunnel is healthy, so the expensive subprocess probe is skipped;
+        closed is inconclusive (non-tunnel environments have no such
+        port) and falls through to the real probe."""
+        import socket
+
+        try:
+            with socket.create_connection(("127.0.0.1", 8093), timeout=3):
+                return True
+        except OSError:
+            return False
+
+    if not _os.environ.get("INTERNNAV_TPU_SKIP_DEVICE_PROBE") \
+            and not _tunnel_socket_open():
         try:
             _sp.run(
                 [_sys.executable, "-c",
                  "import jax; jax.devices()"],
                 timeout=600, check=True, capture_output=True)
         except Exception as e:
+            stderr = getattr(e, "stderr", b"") or b""
+            tail = stderr.decode(errors="replace").strip().splitlines()[-3:]
             print(json.dumps({
                 "metric": "internvla_n1_dual_system_actions_per_sec_per_chip_7b_pipelined",
                 "value": 0.0,
@@ -807,6 +823,7 @@ def main() -> None:
                          f"failed: {type(e).__name__}) — TPU tunnel down? "
                          "See BENCH_r02.json for the last healthy run "
                          "(87.74 actions/s, vs_baseline 4.147).",
+                "probe_stderr_tail": tail,
             }))
             return
 

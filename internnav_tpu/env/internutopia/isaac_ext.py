@@ -186,11 +186,23 @@ def register() -> None:
             super().__init__(config, robot, scene)
             self.config = config
             self._camera = None
+            # consumed by the collision controller's occupancy checker
+            # (reference vln_camera.py:24 defines it the same way)
+            self.resolution = config.resolution
 
         def get_data(self) -> Dict:
             data = {"rgba": self._camera.get_rgba(),
                     "depth": self._camera.get_distance_to_image_plane()}
             return self._make_ordered(data)
+
+        def get_world_pose(self):
+            """(position, orientation) of the camera prim (reference
+            vln_camera.py:66-67) — the occupancy map recentering needs
+            the top-down camera's world x/y."""
+            return self._camera.get_world_pose()
+
+        def set_world_pose(self, *args, **kwargs):
+            self._camera.set_world_pose(*args, **kwargs)
 
         def post_reset(self):
             from internutopia.core.sensor.camera import ICamera
@@ -270,17 +282,34 @@ def register() -> None:
         def get_obs(self):
             return self.impl.get_obs()
 
-    def _speed_impl(robot):
-        """The loco-policy H1SpeedController owned by the robot's
-        registered speed controller (the reference routes StandStill /
-        Discrete through sub_controllers[0] — same delegation, resolved
-        lazily because controller construction order isn't guaranteed)."""
-        ctrl = robot.controllers.get("vln_move_by_speed") \
-            or robot.controllers.get("vln_dp_move_by_speed")
-        if ctrl is None:  # any registered speed controller binding
-            ctrl = next((c for c in robot.controllers.values()
+    def _own_speed_impl(ctrl_self):
+        """A PRIVATE H1SpeedController for a delegating controller
+        (StandStill/Discrete), lazily built with the loco-policy weights
+        of the robot's registered speed controller. Private because
+        H1SpeedController carries per-command state (_apply_times_left,
+        cached joint targets): sharing one instance across controllers
+        would replay a previous controller's cached targets at macro-step
+        boundaries — the reference gives each controller its own
+        sub_controllers[0] for the same reason. Raises when the robot has
+        no speed controller at all (a silent no-op would run whole
+        episodes with a frozen robot)."""
+        impl = getattr(ctrl_self, "_impl", None)
+        if impl is not None:
+            return impl
+        base = ctrl_self.robot.controllers.get("vln_move_by_speed") \
+            or ctrl_self.robot.controllers.get("vln_dp_move_by_speed")
+        if base is None:  # any registered speed controller binding
+            base = next((c for c in ctrl_self.robot.controllers.values()
                          if hasattr(c, "impl")), None)
-        return getattr(ctrl, "impl", None)
+        base_impl = getattr(base, "impl", None)
+        if base_impl is None:
+            raise RuntimeError(
+                f"{type(ctrl_self).__name__} needs a loco speed controller "
+                "(VlnMoveBySpeedController) on the robot to delegate to — "
+                "none is registered in robot.controllers")
+        ctrl_self._impl = H1SpeedController(policy_fwd=base_impl._fwd,
+                                            policy_params=base_impl._params)
+        return ctrl_self._impl
 
     @BaseController.register("StandStillController")
     class StandStillController(BaseController):  # noqa: F811
@@ -290,12 +319,9 @@ def register() -> None:
         def action_to_control(self, action):
             from internutopia.core.robot.articulation import ArticulationAction
 
-            impl = _speed_impl(self.robot)
-            if impl is None:
-                return ArticulationAction()
-            targets = impl.forward(self.robot.robot_state(),
-                                   forward_speed=0.0, rotation_speed=0.0,
-                                   lateral_speed=0.0)
+            targets = _own_speed_impl(self).forward(
+                self.robot.robot_state(), forward_speed=0.0,
+                rotation_speed=0.0, lateral_speed=0.0)
             return ArticulationAction(joint_positions=targets)
 
         def get_obs(self):
@@ -324,18 +350,19 @@ def register() -> None:
             from internutopia.core.robot.articulation import ArticulationAction
 
             a = int(np.asarray(action).ravel()[0])
+            if a not in (0, 1, 2, 3):
+                # fail loudly at the source (reference
+                # discrete_controller.py:68-69)
+                raise ValueError(f"Invalid action: {a}")
             if self.current_action != a:
                 self.current_action = a
                 self.current_steps = 0
             self.current_steps += 1
             v = self.forward_speed if a == 1 else 0.0
             w = {2: self.rotation_speed, 3: -self.rotation_speed}.get(a, 0.0)
-            impl = _speed_impl(self.robot)
-            if impl is None:
-                return ArticulationAction()
-            targets = impl.forward(self.robot.robot_state(),
-                                   forward_speed=v, rotation_speed=w,
-                                   lateral_speed=0.0)
+            targets = _own_speed_impl(self).forward(
+                self.robot.robot_state(), forward_speed=v,
+                rotation_speed=w, lateral_speed=0.0)
             return ArticulationAction(joint_positions=targets)
 
         def get_obs(self):
@@ -346,15 +373,13 @@ def register() -> None:
                     "current_steps": self.current_steps,
                     "finished": finished}
 
-    def _yaw_from_quat_wxyz(q):
-        w, x, y, z = (float(v) for v in np.asarray(q).ravel()[:4])
-        return np.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
-
-    def _quat_wxyz_from_yaw(yaw):
-        # roll/pitch zeroed on purpose: accumulated tilt over a long path
-        # would topple the teleported robot (reference
-        # vln_move_by_flash_with_collision_controller.py:42-87)
-        return np.array([np.cos(yaw / 2.0), 0.0, 0.0, np.sin(yaw / 2.0)])
+    # roll/pitch zeroed on turns on purpose: accumulated tilt over a long
+    # path would topple the teleported robot (reference
+    # vln_move_by_flash_with_collision_controller.py:42-87)
+    from internnav_tpu.utils.geometry import (
+        quat_wxyz_from_yaw as _quat_wxyz_from_yaw,
+        yaw_from_quat_wxyz as _yaw_from_quat_wxyz,
+    )
 
     @BaseController.register("VlnMoveByFlashController")
     class VlnMoveByFlashController(BaseController):  # noqa: F811

@@ -48,7 +48,9 @@ KNOWN_CONTROLLERS = (
 
 
 def yaw_to_quat(yaw: float) -> np.ndarray:
-    return np.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)])
+    from internnav_tpu.utils.geometry import quat_wxyz_from_yaw
+
+    return quat_wxyz_from_yaw(yaw)
 
 
 @dataclass
@@ -315,8 +317,9 @@ class _Info:
 
 
 def _quat_or_yaw(rot) -> float:
+    from internnav_tpu.utils.geometry import yaw_from_quat_wxyz
+
     rot = np.asarray(rot, np.float64).ravel()
     if rot.size == 4:
-        w, x, y, z = rot
-        return float(np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z)))
+        return yaw_from_quat_wxyz(rot)
     return float(rot[0]) if rot.size else 0.0

@@ -28,27 +28,33 @@ _SCALE = 10.0
 def world_to_map_pixel(world_xy: Sequence[float], camera_xy: Sequence[float],
                        aperture: float, width: int,
                        height: int) -> Tuple[float, float]:
-    """World (x, y) → top-down map pixel (px, py) (path_plan.py:28-42:
-    scale by 10/aperture, recenter on the camera, flip the x axis)."""
-    cx = camera_xy[0] * _SCALE / aperture * width
-    cy = -camera_xy[1] * _SCALE / aperture * height
-    X = world_xy[0] * _SCALE / aperture * width
-    Y = -world_xy[1] * _SCALE / aperture * height
-    px = width - (X - cx + width / 2.0)
-    py = Y - cy + height / 2.0
-    return px, py
+    """World (x, y) → top-down map pixel (row, col): scale by
+    10/aperture, recenter on the camera, flip the row axis
+    (path_plan.py:28-42 semantics). The depth image is (height, width):
+    world x maps to the ROW (scaled by height), world y to the COLUMN
+    (scaled by width) — the reference mixes width into the row formula,
+    which only coincides with its own inverse at square resolutions;
+    here the pair is an exact inverse at any resolution (and equals the
+    reference at the square 500x500 map it ships)."""
+    c_row = camera_xy[0] * _SCALE / aperture * height
+    c_col = -camera_xy[1] * _SCALE / aperture * width
+    row_w = world_xy[0] * _SCALE / aperture * height
+    col_w = -world_xy[1] * _SCALE / aperture * width
+    row = height - (row_w - c_row + height / 2.0)
+    col = col_w - c_col + width / 2.0
+    return row, col
 
 
 def map_pixel_to_world(pixel_xy: Sequence[float], camera_xy: Sequence[float],
                        aperture: float, width: int,
                        height: int) -> Tuple[float, float]:
-    """Inverse of world_to_map_pixel (path_plan.py:14-26)."""
-    cx = camera_xy[0] * _SCALE / aperture * width
-    cy = -camera_xy[1] * _SCALE / aperture * height
-    px = height - pixel_xy[0] + cx - height / 2.0
-    py = pixel_xy[1] + cy - width / 2.0
-    world_x = px / _SCALE / height * aperture
-    world_y = -py / _SCALE / width * aperture
+    """Exact inverse of world_to_map_pixel (path_plan.py:14-26)."""
+    c_row = camera_xy[0] * _SCALE / aperture * height
+    c_col = -camera_xy[1] * _SCALE / aperture * width
+    row_w = height - pixel_xy[0] + c_row - height / 2.0
+    col_w = pixel_xy[1] + c_col - width / 2.0
+    world_x = row_w / _SCALE / height * aperture
+    world_y = -col_w / _SCALE / width * aperture
     return world_x, world_y
 
 
@@ -85,23 +91,25 @@ def make_occupancy_checker(get_depth: Callable[[], np.ndarray],
                            robot_size: int = 3) -> Callable[[float, float], bool]:
     """Build the `is_occupied(x, y)` callable for
     FlashCollisionController: refresh the free map from the current
-    top-down depth, project the world target to a map pixel, and report
-    occupied when ANY cell of the (2*robot_size)^2 footprint is not free
-    (reference check_collision, :139-160). Out-of-map targets count as
-    occupied (the reference would index out of bounds there)."""
+    top-down depth, project the world target to a map (row, col), and
+    report occupied when ANY cell of the (2*robot_size)^2 footprint is
+    not free (reference check_collision, :139-160). Out-of-map targets
+    count as occupied (the reference would index out of bounds there).
+    `resolution` is (width, height), matching the camera config; the
+    depth image is (height, width)."""
     width, height = int(resolution[0]), int(resolution[1])
 
     def is_occupied(x: float, y: float) -> bool:
         free = free_map_from_topdown_depth(
             get_depth(), get_base_height(), robot_type,
             ankle_height=get_ankle_height() if get_ankle_height else None)
-        px, py = world_to_map_pixel((x, y), get_camera_xy(), aperture,
-                                    width, height)
-        px_i, py_i = int(px), int(py)
-        lo_x, hi_x = px_i - robot_size, px_i + robot_size
-        lo_y, hi_y = py_i - robot_size, py_i + robot_size
-        if lo_x < 0 or lo_y < 0 or hi_x > free.shape[0] or hi_y > free.shape[1]:
+        row, col = world_to_map_pixel((x, y), get_camera_xy(), aperture,
+                                      width, height)
+        r_i, c_i = int(row), int(col)
+        lo_r, hi_r = r_i - robot_size, r_i + robot_size
+        lo_c, hi_c = c_i - robot_size, c_i + robot_size
+        if lo_r < 0 or lo_c < 0 or hi_r > free.shape[0] or hi_c > free.shape[1]:
             return True
-        return bool(np.any(free[lo_x:hi_x, lo_y:hi_y] == 0))
+        return bool(np.any(free[lo_r:hi_r, lo_c:hi_c] == 0))
 
     return is_occupied

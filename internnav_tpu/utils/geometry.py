@@ -22,6 +22,18 @@ except Exception:  # pragma: no cover
 
 
 # ---------------------------------------------------------------- rotations
+def yaw_from_quat_wxyz(q) -> float:
+    """Yaw of a (w, x, y, z) quaternion — THE canonical copy (used by
+    the Isaac flash controllers, vec_env pose handling, loco obs)."""
+    w, x, y, z = (float(v) for v in np.asarray(q, np.float64).ravel()[:4])
+    return float(np.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z)))
+
+
+def quat_wxyz_from_yaw(yaw: float) -> np.ndarray:
+    """Pure-yaw (w, x, y, z) quaternion (roll/pitch zero)."""
+    return np.array([np.cos(yaw / 2.0), 0.0, 0.0, np.sin(yaw / 2.0)])
+
+
 def yaw_rotmat(yaw: float) -> np.ndarray:
     """2x2 rotation matrix for a scalar yaw."""
     c, s = np.cos(yaw), np.sin(yaw)

@@ -26,6 +26,30 @@ def test_pixel_world_round_trip():
     np.testing.assert_allclose((px, py), (W / 2, H / 2), atol=1e-9)
 
 
+def test_non_square_resolution_consistency():
+    """The transforms stay exact inverses and the checker indexes the
+    (height, width) map correctly at non-square resolutions (the
+    reference's formulas only agree with their own inverse at square
+    maps — corrected here, equal at the square map the reference ships)."""
+    W2, H2 = 120, 80
+    cam = (1.0, 0.5)
+    for wx, wy in [(0.0, 0.0), (2.0, -1.5), (-3.0, 4.0)]:
+        r, c = world_to_map_pixel((wx, wy), cam, APERTURE, W2, H2)
+        bx, by = map_pixel_to_world((r, c), cam, APERTURE, W2, H2)
+        np.testing.assert_allclose((bx, by), (wx, wy), atol=1e-9)
+
+    # obstacle at world (2, 0) with camera at origin:
+    # row = H2 - (2*10/200*H2 + H2/2) = 80 - 48 = 32, col = W2/2 = 60
+    depth = np.full((H2, W2), 1.0, np.float32)
+    depth[30:35, 58:63] = 0.0
+    is_occupied = make_occupancy_checker(
+        get_depth=lambda: depth, get_camera_xy=lambda: (0.0, 0.0),
+        get_base_height=lambda: 0.0, resolution=(W2, H2), aperture=APERTURE)
+    assert is_occupied(2.0, 0.0)
+    assert not is_occupied(0.0, 0.0)
+    assert is_occupied(100.0, 0.0)  # off-map
+
+
 def test_free_map_height_bands():
     depth = np.array([[0.0, 0.3, 0.55, 0.7, 12.0]], np.float32)
     # h1 @ base 0: free = [0.6, 9.55) or (0.02, 0.5]
