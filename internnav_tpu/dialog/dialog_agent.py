@@ -87,6 +87,10 @@ class DialogAgent(Agent):
     def step(self, obs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
         assert len(obs) == 1
         o = obs[0]
+        # an evaluator-side NPC answer (oracle-backed) arrives as an obs key
+        # on the step after an ASK (reference habitat_dialog_evaluator.py:202)
+        if o.get("npc_answer"):
+            self.dialog_context = (self.dialog_context + " " + str(o["npc_answer"])).strip()
         if self.action_queue:
             return [{"action": [self.action_queue.pop(0)], "ideal_flag": True}]
 
@@ -96,14 +100,19 @@ class DialogAgent(Agent):
         out = self.policy.s2_step(np.asarray(o["rgb"]), instruction)
         text = self.policy.llm_output
 
-        # question branch: relay to NPC, retry next step with the hint
+        # question branch: relay to NPC, retry next step with the hint.
+        # With a pre-digested goal_info the agent's own NPC answers inline;
+        # otherwise the question is surfaced for the evaluator-side oracle
+        # NPC, whose answer returns in the next obs as `npc_answer`.
         if "?" in text and not re.search(r"\d", text):
-            pose = o.get("pose") or [*np.asarray(o.get("globalgps", [0, 0, 0]))[:2],
-                                     o.get("yaw", 0.0)]
-            answer = self.npc.answer(text, agent_position=pose)
-            self.dialog_context = (self.dialog_context + " " + answer).strip()
-            return [{"action": [4], "ideal_flag": True, "question": text,
-                     "answer": answer}]  # 4 = ask/no-op action
+            out = {"action": [4], "ideal_flag": True, "question": text}
+            if self.npc.goal:
+                pose = o.get("pose") or [*np.asarray(o.get("globalgps", [0, 0, 0]))[:2],
+                                         o.get("yaw", 0.0)]
+                answer = self.npc.answer(text, agent_position=pose)
+                self.dialog_context = (self.dialog_context + " " + answer).strip()
+                out["answer"] = answer
+            return [out]  # 4 = ask/no-op action
 
         if out.output_pixel is not None and "depth" in o:
             u, v = int(out.output_pixel[0]), int(out.output_pixel[1])

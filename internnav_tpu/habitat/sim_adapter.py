@@ -151,8 +151,29 @@ class HabitatSimAdapter:
         return float(2 * np.arctan2(q.y, q.w))
 
     @property
+    def heading(self) -> float:
+        """Planar heading: habitat forward (-sin θ, -cos θ) in repo (x, y)
+        coordinates → atan2 angle. Used by the dialog oracle."""
+        theta = self.yaw
+        return float(np.arctan2(-np.cos(theta), -np.sin(theta)))
+
+    @property
     def episode_over(self) -> bool:
         return bool(self._env.episode_over)
+
+    def find_path(self, start, end):
+        """Navmesh shortest path between planar points (reference
+        dialog_utils.py:21-27 get_shortest_path). Returns (planar points,
+        success)."""
+        import habitat_sim
+
+        h = self.position[2]
+        sp = habitat_sim.ShortestPath()
+        sp.requested_start = [float(start[0]), h, float(start[1])]
+        sp.requested_end = [float(end[0]), h, float(end[1])]
+        ok = self._env.sim.pathfinder.find_path(sp)
+        pts = [np.asarray([p[0], p[2], p[1]]) for p in sp.points]
+        return pts, bool(ok)
 
     def step(self, action: int) -> Dict[str, Any]:
         name = self.LOOK_ACTIONS.get(int(action)) or self.BASE_ACTIONS.get(int(action), "stop")
