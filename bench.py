@@ -225,8 +225,9 @@ def bench_int8() -> dict:
         "unit": "actions/s",
         "vs_baseline": round(aps / REF_ACTIONS_PER_SEC, 3),
         "detail": {
-            "dims": "full 28-layer Qwen2.5-VL-7B resident, int8 weight-only "
-                    "projections (per-channel scales), bf16 activations/KV",
+            "dims": "full 28-layer Qwen2.5-VL-7B resident, W8A8 decode "
+                    "(int8 per-channel weights, dynamic per-token int8 "
+                    "activations), bf16 KV cache",
             "measured_cycle_s": round(t, 4),
             "ref_actions_per_sec": round(REF_ACTIONS_PER_SEC, 2),
             "note": "deployment mode; the bf16 default is the parity config",
@@ -305,10 +306,11 @@ def bench_batched(batch: int) -> dict:
         "vs_baseline": round(aps / REF_ACTIONS_PER_SEC, 3),
         "detail": {
             "batch_size": batch,
-            "dims": "full 28-layer Qwen2.5-VL-7B resident, int8 weight-only "
-                    "projections, bf16 activations/KV; B independent episode "
-                    "streams, per-stream results bit-identical to "
-                    "single-stream (tests/test_serving_batched.py)",
+            "dims": "full 28-layer Qwen2.5-VL-7B resident, W8A8 decode "
+                    "(int8 weights, dynamic per-token int8 activations), "
+                    "bf16 KV cache; B independent episode streams, "
+                    "per-stream results bit-identical to single-stream "
+                    "(tests/test_serving_batched.py)",
             "measured_cycle_s": round(t, 4),
             "actions_per_cycle": ACTIONS_PER_CYCLE * batch,
             "per_stream_actions_per_sec": round(aps / batch, 2),
@@ -487,10 +489,11 @@ def bench_pipelined(batch: int, cohorts: int = 2,
             "shared_s1": shared_s1,
             "streams": batch * cohorts,
             "weight_dtype": weight_dtype,
-            "dims": f"full 28-layer Qwen2.5-VL-7B resident, {weight_dtype} "
-                    "weight-only projections, bf16 activations/KV; "
-                    "independent episode streams in phase-interleaved "
-                    "cohorts (async dispatch, single host thread)",
+            "dims": f"full 28-layer Qwen2.5-VL-7B resident, W8A8 decode "
+                    f"({weight_dtype} projections, dynamic per-token int8 "
+                    "activations), bf16 KV cache; independent episode "
+                    "streams in phase-interleaved cohorts (async dispatch, "
+                    "single host thread)",
             "best_stream_s": round(t, 4),
             "cycles_per_stream": CYCLES,
             "configs_measured": tried,

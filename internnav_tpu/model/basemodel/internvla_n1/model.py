@@ -385,6 +385,24 @@ class InternVLAN1Model(nn.Module):
             traj_latents, rng, vlm_mask=vlm_mask, sample_num=sample_num
         )
 
+    def generate_traj_navdp_batched(self, traj_latents, images_dp=None,
+                                    depths_dp=None, *, rng,
+                                    sample_num: int = 32, vlm_mask=None,
+                                    x_init=None, step_noises=None):
+        """Batched NavDP System-1: B episode streams through one denoise
+        program. traj_latents (B, L, D); images/depths (B, M, H, W, C) for
+        the async variant. → (B*sample_num, P, 3), row block i conditioned
+        on stream i (see navdp_head batched-inference notes)."""
+        if "async" in self.cfg.system1:
+            return self.navdp.predict_pointgoal_action_async_batched(
+                traj_latents, images_dp, depths_dp, rng, vlm_mask=vlm_mask,
+                sample_num=sample_num, x_init=x_init, step_noises=step_noises,
+            )
+        return self.navdp.predict_pointgoal_action_batched(
+            traj_latents, rng, vlm_mask=vlm_mask, sample_num=sample_num,
+            x_init=x_init, step_noises=step_noises,
+        )
+
     # ------------------------------------------------------------- training
     def traj_loss_nextdit(self, traj_hidden_states, traj_poses, rng,
                           images_dp=None, loss_mask=None):

@@ -121,3 +121,55 @@ class NavDPHead(nn.Module):
             lambda x, t: self.predict_noise(x, t, goal, None),
             x_init, jax.random.fold_in(rng, 1),
         )
+
+    # -------------------------------------------------- batched inference
+    # B independent episode streams through ONE denoise program (the
+    # reference evaluates one episode per GPU rank — navdp.py:197-289 is
+    # inherently B=1; batching is this framework's serving transform).
+    # Row layout matches the nextdit batched path: sample i*sample_num+j
+    # conditions on stream i, so serving._s1_outputs' (B, S, P, 3) reshape
+    # applies unchanged. At B=1 the draws and shapes are identical to the
+    # single-stream methods above, so results are bit-equal. At B>1 the
+    # default draws one batch-wide noise (like nextdit); injecting per-row
+    # x_init/step_noises reproduces each row's single-stream run to GEMM
+    # reduction epsilon — row-independence is asserted that way in
+    # tests/test_serving_navdp.py.
+
+    def predict_pointgoal_action_async_batched(self, vlm_tokens, input_images,
+                                               input_depths, rng,
+                                               vlm_mask=None,
+                                               sample_num: int = 32,
+                                               x_init=None, step_noises=None):
+        """vlm_tokens (B, L, D_vlm); images (B, M, H, W, 3); depths
+        (B, M, H, W, 1) → (B*sample_num, P, 3)."""
+        B = vlm_tokens.shape[0]
+        vlm = self._vlm_mlp(vlm_tokens)
+        pad = None if vlm_mask is None else ~(vlm_mask.astype(bool))
+        goal = self.goal_compressor(vlm, pad)                 # (B, 1, D)
+        rgbd = self.rgbd_encoder(input_images, input_depths)  # (B, M*16, D)
+        goal_r = jnp.repeat(goal, sample_num, axis=0)
+        rgbd_r = jnp.repeat(rgbd, sample_num, axis=0)
+        if x_init is None:
+            x_init = jax.random.normal(
+                rng, (B * sample_num, self.predict_size, 3))
+        return self.scheduler.denoise_scan(
+            lambda x, t: self.predict_noise(x, t, goal_r, rgbd_r),
+            x_init, jax.random.fold_in(rng, 1), noises=step_noises,
+        )
+
+    def predict_pointgoal_action_batched(self, vlm_tokens, rng, vlm_mask=None,
+                                         sample_num: int = 32, x_init=None,
+                                         step_noises=None):
+        """Sync batched path: vlm_tokens (B, L, D_vlm) →
+        (B*sample_num, P, 3)."""
+        B = vlm_tokens.shape[0]
+        vlm = self._vlm_mlp(vlm_tokens)
+        goal = jnp.mean(vlm, axis=1, keepdims=True)           # (B, 1, D)
+        goal_r = jnp.repeat(goal, sample_num, axis=0)
+        if x_init is None:
+            x_init = jax.random.normal(
+                rng, (B * sample_num, self.predict_size, 3))
+        return self.scheduler.denoise_scan(
+            lambda x, t: self.predict_noise(x, t, goal_r, None),
+            x_init, jax.random.fold_in(rng, 1), noises=step_noises,
+        )

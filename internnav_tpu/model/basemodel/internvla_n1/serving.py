@@ -554,11 +554,12 @@ class BatchedN1Policy:
 
     def s1_submit(self, rgb: np.ndarray, latents,
                   num_sample_trajs: int = 32,
-                  slot_ids: Optional[List[int]] = None) -> Dict[str, Any]:
+                  slot_ids: Optional[List[int]] = None,
+                  depth: Optional[np.ndarray] = None) -> Dict[str, Any]:
         """Async dispatch of one batched System-1 denoise; returns a handle
         for `s1_collect`.
 
-        Two input forms:
+        nextdit System-1 — two input forms:
         - rgb (B, H, W, 3): CURRENT frames only (production path). The
           memory frame for each row comes from the per-slot device cache
           populated by `s2_step` (zero re-upload), and its DINOv2 features
@@ -566,13 +567,18 @@ class BatchedN1Policy:
           each call uploads and encodes exactly one new frame per stream.
         - rgb (B, 2, H, W, 3): explicit [memory, current] pixel pairs
           (legacy/parity path, matches the single-stream policy API).
+
+        navdp System-1 (reference internvla_n1_arch.py:10 `navdp_async`,
+        navdp.py:197-289): explicit [memory, current] RGBD pairs —
+        rgb (B, 2, H, W, 3) uint8 + depth (B, 2, H, W, 1); the sync
+        variant is latents-only (rgb/depth ignored).
         """
         inner = self.inner
         cfg = self.cfg
+        if "navdp" in cfg.system1:
+            return self._s1_submit_navdp(rgb, depth, latents,
+                                         num_sample_trajs)
         B = rgb.shape[0]
-        if "nextdit" not in cfg.system1:
-            raise NotImplementedError("batched serving targets the nextdit "
-                                      "System-1 (flagship config)")
 
         if rgb.ndim == 5:  # legacy [memory, current] pairs
             self._rng, sub = jax.random.split(self._rng)
@@ -678,6 +684,55 @@ class BatchedN1Policy:
             inner.params, spec["latents"], spec["mem"], spec["cur"],
             spec["rng"])
 
+    def _s1_submit_navdp(self, rgb, depth, latents,
+                         num_sample_trajs: int) -> Dict[str, Any]:
+        """Batched NavDP System-1 dispatch. The async head consumes
+        memory_size=2 [memory, current] RGBD pairs (navdp.py:197-253), so
+        inputs use the explicit-pairs form; pixels cross the link as uint8
+        and are /255-normalized on device, exactly like the single-stream
+        path (policy.py s1_step_latent navdp branch)."""
+        inner = self.inner
+        cfg = self.cfg
+        self._rng, sub = jax.random.split(self._rng)
+        B = latents.shape[0]
+        Bp = self._pow2_bucket(B)
+        latents_p = self._pad_rows(jnp.asarray(latents), Bp)
+        handle = {"B": B, "Bp": Bp, "nst": num_sample_trajs}
+        nst = num_sample_trajs
+        if "async" in cfg.system1:
+            assert rgb is not None and depth is not None and rgb.ndim == 5, (
+                "navdp_async batched S1 needs rgb (B,2,H,W,3) + depth "
+                f"(B,2,H,W,1) pairs, got rgb "
+                f"{None if rgb is None else rgb.shape}")
+            rgb_u8 = np.asarray(rgb, np.uint8)
+            depth_f = np.asarray(depth, np.float32)
+            if Bp != B:
+                rgb_u8 = np.concatenate(
+                    [rgb_u8, np.repeat(rgb_u8[:1], Bp - B, axis=0)], axis=0)
+                depth_f = np.concatenate(
+                    [depth_f, np.repeat(depth_f[:1], Bp - B, axis=0)], axis=0)
+            key = f"s1Bnavdp_{rgb_u8.shape}_{nst}"
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = jax.jit(
+                    lambda p, lat, im, de, r: inner.model.apply(
+                        {"params": p},
+                        method=lambda mdl: mdl.generate_traj_navdp_batched(
+                            lat, im.astype(jnp.float32) / 255.0, de,
+                            rng=r, sample_num=nst)))
+            handle["dp"] = inner._jit_cache[key](
+                inner.params, latents_p, jnp.asarray(rgb_u8),
+                jnp.asarray(depth_f), sub)
+            return handle
+        key = f"s1Bnavdp_noimg_{Bp}_{nst}"
+        if key not in inner._jit_cache:
+            inner._jit_cache[key] = jax.jit(
+                lambda p, lat, r: inner.model.apply(
+                    {"params": p},
+                    method=lambda mdl: mdl.generate_traj_navdp_batched(
+                        lat, rng=r, sample_num=nst)))
+        handle["dp"] = inner._jit_cache[key](inner.params, latents_p, sub)
+        return handle
+
     def s1_collect(self, handle: Dict[str, Any]) -> List[S1Output]:
         """Fetch + discretize the results of an `s1_submit`."""
         dp = np.asarray(handle["dp"])
@@ -685,10 +740,11 @@ class BatchedN1Policy:
 
     def s1_step_latent(self, rgb: np.ndarray, latents,
                        num_sample_trajs: int = 32,
-                       slot_ids: Optional[List[int]] = None) -> List[S1Output]:
+                       slot_ids: Optional[List[int]] = None,
+                       depth: Optional[np.ndarray] = None) -> List[S1Output]:
         """Blocking batched System-1 denoise (see `s1_submit`)."""
         return self.s1_collect(self.s1_submit(rgb, latents, num_sample_trajs,
-                                              slot_ids))
+                                              slot_ids, depth=depth))
 
     def _s1_outputs(self, dp: np.ndarray, B: int, Bp: int,
                     num_sample_trajs: int) -> List[S1Output]:
@@ -845,6 +901,12 @@ class SharedS1Pool:
             self.pending = []
 
 
+def _split_frames(frames):
+    """frames_fn may return rgb alone (nextdit cohorts) or an
+    (rgb, depth) tuple (navdp cohorts, RGBD [memory, current] pairs)."""
+    return frames if isinstance(frames, tuple) else (frames, None)
+
+
 class PipelinedN1Server:
     """Double-buffered multi-cohort serving, single host thread.
 
@@ -923,15 +985,17 @@ class PipelinedN1Server:
                         (1, self.cfg.n_query, self.cfg.text.hidden_size),
                         jnp.bfloat16))
             lat[ci] = jnp.concatenate(rows, axis=0)
-            s1h[ci] = pol.s1_submit(frames_fn(ci, 1), lat[ci],
-                                    num_sample_trajs)
+            rgb_f, depth_f = _split_frames(frames_fn(ci, 1))
+            s1h[ci] = pol.s1_submit(rgb_f, lat[ci], num_sample_trajs,
+                                    depth=depth_f)
         for call in range(1, s1_calls + 1):
             nxt = [None] * n
             for ci, pol in enumerate(self.cohorts):
                 s1res[ci].append(pol.s1_collect(s1h[ci]))
                 if call < s1_calls:
-                    nxt[ci] = pol.s1_submit(frames_fn(ci, call + 1), lat[ci],
-                                            num_sample_trajs)
+                    rgb_f, depth_f = _split_frames(frames_fn(ci, call + 1))
+                    nxt[ci] = pol.s1_submit(rgb_f, lat[ci],
+                                            num_sample_trajs, depth=depth_f)
             s1h = nxt
         return [(s2out[ci], s1res[ci]) for ci in range(n)]
 
@@ -1005,12 +1069,16 @@ class PipelinedN1Server:
 
         def submit_s1(ci, t, call):
             """Per-cohort S1 dispatch, or prepare-only under shared_s1."""
+            rgb_f, depth_f = _split_frames(frames_fn(ci, t, call))
             if shared_s1:
+                if depth_f is not None:
+                    raise ValueError("shared_s1 grouping supports the "
+                                     "nextdit System-1 only; navdp cohorts "
+                                     "use per-cohort dispatch")
                 return timed("s1_submit", self.cohorts[ci].s1_prepare,
-                             frames_fn(ci, t, call), lat[ci],
-                             num_sample_trajs)
+                             rgb_f, lat[ci], num_sample_trajs)
             return timed("s1_submit", self.cohorts[ci].s1_submit,
-                         frames_fn(ci, t, call), lat[ci], num_sample_trajs)
+                         rgb_f, lat[ci], num_sample_trajs, depth=depth_f)
 
         def flush_s1(specs):
             """Under shared_s1: one grouped program for every cohort's

@@ -117,12 +117,19 @@ class DDPMScheduler:
         self,
         predict_eps: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         x_init: jnp.ndarray,
-        rng: jax.Array,
+        rng: Optional[jax.Array] = None,
         num_inference_steps: Optional[int] = None,
+        noises: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Full reverse loop as one lax.scan: predict_eps(x, t) → ε."""
+        """Full reverse loop as one lax.scan: predict_eps(x, t) → ε.
+        `noises` ((T,) + x_init.shape) pre-samples the per-step ancestral
+        noise — used by batched/grouped serving so each stream block keeps
+        the draw its own single-stream run would have made; default draws
+        from `rng`."""
         ts = self.timesteps(num_inference_steps)
-        noises = jax.random.normal(rng, (len(ts),) + x_init.shape, x_init.dtype)
+        if noises is None:
+            noises = jax.random.normal(rng, (len(ts),) + x_init.shape,
+                                       x_init.dtype)
 
         def body(x, inp):
             t, z = inp
