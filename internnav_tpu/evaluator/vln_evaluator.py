@@ -77,7 +77,11 @@ class VLNBatchedEvaluator(Evaluator):
 
     def eval_action(self) -> List[Dict[str, Any]]:
         env = self.env
+        from internnav_tpu.evaluator.utils.latency import ActionLatencyTracker
+
+        latency = ActionLatencyTracker()
         obs_list = env.reset()
+        latency.start()
         for o in obs_list:
             if o is not None:
                 self.progress.start(o["path_key"])
@@ -96,6 +100,7 @@ class VLNBatchedEvaluator(Evaluator):
             agent_out = self.agent.step(batch_obs)
             actions = [int(a["action"][0]) for a in agent_out]
             obs_list = env.step(actions)
+            latency.mark(len(live_idx))
             for i in live_idx:
                 o = obs_list[i]
                 if o is not None:
@@ -131,7 +136,13 @@ class VLNBatchedEvaluator(Evaluator):
             if info and info.get("episode_id") not in {r.get("episode_id") for r in results}:
                 results.append(info)
         self.progress.report()
+        self.latency_summary = latency.summary()
         return results
+
+    def calc_metrics(self, per_episode: List[Dict[str, Any]]) -> Dict[str, float]:
+        metrics = super().calc_metrics(per_episode)
+        metrics.update(getattr(self, "latency_summary", None) or {})
+        return metrics
 
 
 def _rank() -> int:

@@ -57,18 +57,21 @@ class _Cohort:
     """Per-cohort eval state: env + agent slots + FSM bookkeeping."""
 
     def __init__(self, idx: int, env, agent, progress: ProgressLogger,
-                 store: EpisodeResultStore) -> None:
+                 store: EpisodeResultStore, latency=None) -> None:
         self.idx = idx
         self.env = env
         self.agent = agent
         self.progress = progress
         self.store = store
+        self.latency = latency
         self.obs_list: List[Optional[Dict[str, Any]]] = []
         self.results: List[Dict[str, Any]] = []
         self._prev_count = 0
 
     def start(self) -> None:
         self.obs_list = self.env.reset()
+        if self.latency is not None:
+            self.latency.start(self.idx)
         for o in self.obs_list:
             if o is not None:
                 self.progress.start(o["path_key"])
@@ -88,8 +91,12 @@ class _Cohort:
 
     def apply(self, agent_out: List[Dict[str, Any]]) -> None:
         """env.step + terminate_ops for one macro-step."""
+        live = sum(1 for o in self.obs_list
+                   if o is not None and not o.get("done", False))
         actions = [int(a["action"][0]) for a in agent_out]
         self.obs_list = self.env.step(actions)
+        if self.latency is not None:
+            self.latency.mark(self.idx, live)
         for o in self.obs_list:
             if o is not None and not o.get("done", False):
                 self.progress.step(o["path_key"])
@@ -121,30 +128,106 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
     round-robin coroutine scheduler over N cohorts."""
 
     def __init__(self, cfg: EvalCfg, episodes: Optional[List[Episode]] = None,
-                 **kwargs):
-        self.cohort_count = int((cfg.env.env_settings or {}).get("cohorts", 2))
+                 envs: Optional[List[Any]] = None, env_factory=None, **kwargs):
+        """``envs``: pre-built cohort envs speaking the batched obs-list
+        protocol (one per cohort; sets the cohort count). ``env_factory``:
+        callable ``(cohort_idx, env_cfg, task_cfg, episodes) -> env`` used
+        to build each cohort's env — also readable from
+        env_settings["env_factory"]. With neither, fake envs are built
+        in-process and any other env_type goes through
+        ``VLNPEBatchAdapter`` over one InternutopiaEnv per cohort."""
+        settings = cfg.env.env_settings or {}
+        self._env_factory = env_factory or settings.get("env_factory")
+        self._prebuilt_envs = list(envs) if envs is not None else None
+        if self._prebuilt_envs is not None:
+            self.cohort_count = len(self._prebuilt_envs)
+            kwargs.setdefault("env", self._prebuilt_envs[0])
+        else:
+            self.cohort_count = int(settings.get("cohorts", 2))
+        if (self._prebuilt_envs is None and cfg.env.env_type != "fake"
+                and (self.cohort_count > 1 or self._env_factory)):
+            episodes, self._prebuilt_envs = self._build_real_envs(
+                cfg, episodes)
+            kwargs.setdefault("env", self._prebuilt_envs[0])
         super().__init__(cfg, episodes=episodes, **kwargs)
+
+    def _build_real_envs(self, cfg: EvalCfg, episodes):
+        """Pre-split the (resume-filtered) episode shard across cohorts and
+        build one real env per cohort — real sims bind episodes at
+        construction, so the post-hoc re-scope used for fake envs can't
+        apply. The base __init__ repeats the load/shard/pending bookkeeping
+        idempotently against the same resume store."""
+        from internnav_tpu.env.episodes import (
+            ResumableEpisodeLoader, group_by_scene, shard_episodes,
+        )
+        from internnav_tpu.evaluator.base import get_rank_world
+
+        rank, world = get_rank_world()
+        store = EpisodeResultStore(root=f"{cfg.output_dir}/resume", rank=rank)
+        if episodes is None:
+            episodes = self._load_episodes(cfg)
+        sharded = shard_episodes(group_by_scene(episodes), rank, world)
+        pending = ResumableEpisodeLoader(
+            sharded, store=store, retry_list=cfg.dataset.retry_list).pending()
+        n = self.cohort_count
+        shares = [pending[c::n] for c in range(n)]
+        envs = [self._make_cohort_env(cfg, c, share)
+                for c, share in enumerate(shares)]
+        return episodes, envs
+
+    def _make_cohort_env(self, cfg: EvalCfg, idx: int,
+                         episodes: List[Episode]):
+        """One cohort env for a real sim backend. ``env_factory`` wins;
+        otherwise env_type "internutopia" gets an InternutopiaEnv wrapped
+        in the batched-protocol adapter. Other backends must provide a
+        factory (the habitat stack has its own evaluator protocol)."""
+        if self._env_factory is not None:
+            return self._env_factory(idx, cfg.env, cfg.task, episodes)
+        if cfg.env.env_type == "internutopia":
+            from internnav_tpu.env.internutopia.batch_adapter import (
+                VLNPEBatchAdapter,
+            )
+            from internnav_tpu.env.internutopia.env import InternutopiaEnv
+
+            env = InternutopiaEnv(cfg.env, cfg.task, episodes=episodes)
+            return VLNPEBatchAdapter(
+                env, robot_name=cfg.task.robot_name,
+                robot_flash=cfg.task.robot_flash, episodes=episodes,
+                rgb_hw=tuple(cfg.task.camera_resolution or (256, 256)))
+        raise NotImplementedError(
+            f"vln_pipelined has no default cohort-env builder for "
+            f"env_type={cfg.env.env_type!r}; pass envs= or env_factory=")
 
     # the base class builds env + agent for cohort 0; add the rest lazily
     def _build_cohorts(self) -> List[_Cohort]:
+        from internnav_tpu.evaluator.utils.latency import CohortLatencyTracker
+
         cfg = self.cfg
-        pending = list(getattr(self.env, "episodes", []))
         n = self.cohort_count
+        self._latency = CohortLatencyTracker(n)
         cohorts: List[_Cohort] = []
-        shares = [pending[c::n] for c in range(n)]
-        # cohort 0 reuses the already-built env/agent; re-scope its episodes
-        self.env.episodes = shares[0]
-        cohorts.append(_Cohort(0, self.env, self.agent, self.progress,
-                               self.store))
-        if n > 1 and cfg.env.env_type != "fake":
-            raise NotImplementedError(
-                "vln_pipelined builds one env per cohort; only the fake "
-                "vectorized env is constructible here (pass cohorts=1 or "
-                "construct the evaluator with pre-built envs for real sims)")
-        for c in range(1, n):
-            env = FakeEnv(cfg.env, cfg.task, episodes=shares[c])
-            agent = self._make_cohort_agent(c)
-            cohorts.append(_Cohort(c, env, agent, self.progress, self.store))
+        if self._prebuilt_envs is not None:
+            # each env owns its episode share already (pre-built or
+            # pre-split at construction) — no post-hoc re-scope
+            cohorts.append(_Cohort(0, self.env, self.agent, self.progress,
+                                   self.store, latency=self._latency))
+            for c in range(1, n):
+                cohorts.append(_Cohort(c, self._prebuilt_envs[c],
+                                       self._make_cohort_agent(c),
+                                       self.progress, self.store,
+                                       latency=self._latency))
+        else:
+            pending = list(getattr(self.env, "episodes", []))
+            shares = [pending[c::n] for c in range(n)]
+            # cohort 0 reuses the already-built env/agent; re-scope episodes
+            self.env.episodes = shares[0]
+            cohorts.append(_Cohort(0, self.env, self.agent, self.progress,
+                                   self.store, latency=self._latency))
+            for c in range(1, n):
+                env = FakeEnv(cfg.env, cfg.task, episodes=shares[c])
+                agent = self._make_cohort_agent(c)
+                cohorts.append(_Cohort(c, env, agent, self.progress,
+                                       self.store, latency=self._latency))
         self._attach_decode_pool(cohorts)
         self._attach_s1_pool(cohorts)
         return cohorts
@@ -256,4 +339,5 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
                     r.get("episode_id") for r in results}:
                 results.append(info)
         self.progress.report()
+        self.latency_summary = self._latency.summary()
         return results
