@@ -515,6 +515,120 @@ def bench_pipelined(batch: int, cohorts: int = 2,
                     "baseline is single-stream because the reference "
                     "framework evaluates one episode per GPU rank",
         },
+        # consumed (and popped) by main() to run the evaluator-path bench
+        # on the same params + jit caches
+        "_ctx": {"model": model, "params": params, "inner": inner,
+                 "cohorts": cohorts, "shared_decode": shared_decode,
+                 "shared_s1": shared_s1, "batch": batch,
+                 "weight_dtype": weight_dtype, "serving_aps": aps},
+    }
+
+
+def bench_evaluator_path(ctx: dict, max_step: int = 24) -> dict:
+    """The SAME serving topology measured through the full product loop:
+    VLNPipelinedEvaluator (episode loading, FakeEnv sim stepping, metric
+    accumulation, resume store, progress logging) driving
+    BatchedInternVLAN1Agent cohorts that share the serving bench's params
+    and jit caches. Reports actions/s through the evaluator plus the
+    p50/p90/p99 per-action latency the evaluators now measure — the
+    reference's only published speed observable is per-trajectory mean
+    fps (internnav/utils/progress_log_multi_util.py:82-84).
+
+    'Actions' counts only LIVE stream macro-steps (what episodes actually
+    experienced): a finished slot's padded row still costs device time
+    until its cohort drains, so this is the honest evaluation-throughput
+    number, not the serving-loop number."""
+    import shutil
+    import tempfile
+
+    from internnav_tpu.agent.internvla_n1_agent import BatchedInternVLAN1Agent
+    from internnav_tpu.configs import (
+        AgentCfg, EnvCfg, EvalCfg, EvalDatasetCfg, MetricCfg, TaskCfg,
+    )
+    from internnav_tpu.env.episodes import Episode
+    from internnav_tpu.evaluator.vln_pipelined_evaluator import (
+        VLNPipelinedEvaluator,
+    )
+    from internnav_tpu.model.basemodel.internvla_n1.serving import (
+        BatchedN1Policy,
+    )
+
+    model, params, inner = ctx["model"], ctx["params"], ctx["inner"]
+    cfg = inner.cfg
+    batch, cohorts = ctx["batch"], ctx["cohorts"]
+    inner.tokenizer.eos_token_id = -7  # full decode budget (random weights)
+
+    def make_episodes(n: int) -> list:
+        eps = []
+        for i in range(n):
+            ref = np.stack([np.linspace(0.0, 12.0, 6), np.zeros(6),
+                            np.zeros(6)], axis=1)
+            eps.append(Episode(
+                episode_id=str(i), trajectory_id=f"t{i}", scene_id="bench",
+                instruction_text=("walk down the hallway past the kitchen "
+                                  f"then turn left and stop at table {i}"),
+                instruction_tokens=np.arange(8, dtype=np.int32),
+                start_position=np.zeros(3),
+                start_rotation=np.asarray([1.0, 0, 0, 0]),
+                reference_path=ref, geodesic_distance=12.0))
+        return eps
+
+    def run(steps: int, out_dir: str) -> dict:
+        agent_settings = {
+            "batch_size": batch, "max_new_tokens": DECODE_TOKENS,
+            "num_sample_trajs": NUM_SAMPLE_TRAJS,
+            "sys2_max_forward_step": 8, "max_local_steps": 4,
+            "config": cfg,
+        }
+        agent = BatchedInternVLAN1Agent(
+            AgentCfg(model_name="internvla_n1_batched",
+                     model_settings=agent_settings),
+            policy=BatchedN1Policy(model, params, cfg, batch_size=batch,
+                                   inner=inner))
+        eval_cfg = EvalCfg(
+            agent=AgentCfg(model_name="internvla_n1_batched",
+                           model_settings=agent_settings),
+            env=EnvCfg(env_type="fake", env_num=batch,
+                       env_settings={"rgb_resolution": [IMAGE_HW, IMAGE_HW],
+                                     "depth_resolution": [IMAGE_HW, IMAGE_HW],
+                                     "cohorts": cohorts,
+                                     "shared_decode": ctx["shared_decode"],
+                                     "shared_s1": ctx["shared_s1"]}),
+            task=TaskCfg(max_step=steps,
+                         metric_config=MetricCfg(success_distance=3.0)),
+            dataset=EvalDatasetCfg(),
+            eval_type="vln_pipelined",
+            output_dir=out_dir,
+        )
+        ev = VLNPipelinedEvaluator(eval_cfg,
+                                   episodes=make_episodes(batch * cohorts),
+                                   agent=agent)
+        return ev.eval()
+
+    tmp = tempfile.mkdtemp(prefix="bench_eval_")
+    try:
+        run(9, f"{tmp}/warm")  # compile: 1-img + 9-img prefills, decode, S1
+        metrics = run(max_step, f"{tmp}/run")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    actions = int(metrics.get("actions_timed", 0))
+    wall = float(metrics["wall_clock_s"])
+    aps = actions / wall if wall > 0 else 0.0
+    return {
+        "actions_per_sec": round(aps, 2),
+        "vs_serving_loop": round(aps / ctx["serving_aps"], 3),
+        "action_latency_p50_ms": metrics.get("action_latency_p50_ms"),
+        "action_latency_p90_ms": metrics.get("action_latency_p90_ms"),
+        "action_latency_p99_ms": metrics.get("action_latency_p99_ms"),
+        "action_latency_mean_ms": metrics.get("action_latency_mean_ms"),
+        "actions_timed": actions,
+        "wall_clock_s": round(wall, 3),
+        "episodes": batch * cohorts,
+        "max_step": max_step,
+        "streams": batch * cohorts,
+        "loop": "VLNPipelinedEvaluator: FakeEnv sim stepping + metric "
+                "accumulation + resume store + progress logging, cohorts "
+                "sharing the serving bench's params and jit caches",
     }
 
 
@@ -778,6 +892,11 @@ def main() -> None:
                          "for the pipelined mode: int8 = W8A8 (default); "
                          "int4 = W4A8 (grouped-128 scales, lm_head int8) — "
                          "halves the decode weight stream")
+    ap.add_argument("--no-evaluator-path", action="store_true",
+                    help="skip the evaluator-path bench (VLNPipelinedEvaluator "
+                         "through the full product loop with p50/p99 "
+                         "per-action latency) that the default pipelined "
+                         "mode appends to detail.evaluator_path")
     ap.add_argument("--cohorts", type=int, default=3,
                     help="number of phase-interleaved cohorts. The DEFAULT "
                          "mode is pipelined multi-cohort serving — the "
@@ -863,6 +982,13 @@ def main() -> None:
         result = bench_pipelined(args.batch, args.cohorts,
                                  shared_decode=shared, shared_s1=s1,
                                  weight_dtype=args.weight_dtype)
+    ctx = result.pop("_ctx", None)
+    if ctx is not None and not args.no_evaluator_path:
+        try:
+            result["detail"]["evaluator_path"] = bench_evaluator_path(ctx)
+        except Exception as e:  # the headline must still print
+            result["detail"]["evaluator_path"] = {
+                "error": f"{type(e).__name__}: {e}"[:300]}
     print(json.dumps(result))
 
 

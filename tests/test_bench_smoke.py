@@ -57,3 +57,25 @@ def test_bench_pipelined_candidate_sweep(monkeypatch, pinned):
     assert det["shared_decode"] in (True, False)
     assert det["shared_s1"] in (True, False)
     assert det["phase_breakdown"]["s2_blocking_s"] > 0
+
+
+def test_bench_evaluator_path_smoke(monkeypatch):
+    """detail.evaluator_path: the full product loop (VLNPipelinedEvaluator
+    over FakeEnv cohorts) on the serving bench's ctx, tiny dims on CPU."""
+    monkeypatch.setattr(bench_mod, "_full_n1_config", _tiny_cfg)
+    monkeypatch.setattr(bench_mod, "IMAGE_HW", 56)
+    monkeypatch.setattr(bench_mod, "DECODE_TOKENS", 4)
+    monkeypatch.setattr(bench_mod, "CYCLES", 1)
+    monkeypatch.setattr(bench_mod, "NUM_SAMPLE_TRAJS", 4)
+
+    res = bench_mod.bench_pipelined(batch=2, cohorts=2, shared_decode=False,
+                                    shared_s1=False)
+    ctx = res.pop("_ctx")
+    assert abs(ctx["serving_aps"] - res["value"]) < 0.01
+    ep = bench_mod.bench_evaluator_path(ctx, max_step=6)
+    assert ep["actions_per_sec"] > 0
+    assert ep["actions_timed"] > 0
+    assert ep["action_latency_p50_ms"] > 0
+    assert ep["action_latency_p99_ms"] >= ep["action_latency_p50_ms"]
+    assert ep["vs_serving_loop"] > 0
+    assert ep["episodes"] == ctx["batch"] * ctx["cohorts"]
