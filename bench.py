@@ -607,7 +607,15 @@ def bench_evaluator_path(ctx: dict, max_step: int = 24) -> dict:
 
     tmp = tempfile.mkdtemp(prefix="bench_eval_")
     try:
-        run(9, f"{tmp}/warm")  # compile: 1-img + 9-img prefills, decode, S1
+        # warm with an IDENTICAL eval: episode ends desynchronize the
+        # streams, so S2/S1 group sizes wander across compute buckets
+        # (16 -> 12/8/6/4/...), each a fresh compile of the fused
+        # programs (~30-60 s on the tunneled chip). The agent is
+        # deterministic (greedy decode, per-slot rng replay), so an
+        # identical warm run visits exactly the measured run's shape
+        # sequence and the measured run is pure steady-state — what a
+        # production eval (hours long) actually experiences.
+        run(max_step, f"{tmp}/warm")
         metrics = run(max_step, f"{tmp}/run")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -674,10 +682,152 @@ def bench_full() -> dict:
     }
 
 
+_QUALITY_INSTRUCTIONS = [
+    "walk down the hallway past the kitchen then turn left",
+    "go straight through the door and stop at the sofa",
+    "turn right at the plant and wait near the staircase",
+    "exit the bedroom and move toward the dining table",
+    "follow the corridor to the end and stop by the window",
+    "enter the office and stand next to the bookshelf",
+]
+
+
+def _quality_prompts(pol, cfg, n_prompts: int) -> list:
+    """Run the fixed quality prompts through one policy: full decode
+    budget, saturated 8-frame history, per-prompt-deterministic S1 rng.
+    Returns host copies of {tokens, latent, traj} per prompt."""
+    import jax
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(7)
+    outs = []
+    for i in range(n_prompts):
+        img = rs.randint(0, 255, (IMAGE_HW, IMAGE_HW, 3)).astype(np.uint8)
+        rgb2 = np.stack([img, img])[None]
+        instr = _QUALITY_INSTRUCTIONS[i % len(_QUALITY_INSTRUCTIONS)]
+        pol.tokenizer.eos_token_id = -7  # full decode budget both sides
+        pol.reset()
+        pol.rgb_list = [img] * 8
+        pol.episode_idx = 8
+        pol._rng = jax.random.PRNGKey(1000 + i)  # identical S1 noise
+        s2 = pol.s2_step(img, instr, max_new_tokens=DECODE_TOKENS)
+        latent = s2.output_latent
+        if latent is None:
+            latent = jnp.zeros((1, cfg.n_query, cfg.text.hidden_size),
+                               jnp.bfloat16)
+        s1 = pol.s1_step_latent(rgb2, None, latent,
+                                num_sample_trajs=NUM_SAMPLE_TRAJS)
+        outs.append({
+            "tokens": np.asarray(pol.last_gen_tokens),
+            "latent": np.asarray(latent, np.float32),
+            "traj": np.asarray(s1.trajectory, np.float32),
+        })
+    return outs
+
+
+def _quality_compare(outs_a: list, outs_b: list) -> dict:
+    """Token agreement / divergence / latent / waypoint stats between two
+    per-prompt output lists from _quality_prompts."""
+    agree_num = agree_den = 0
+    first_div, latent_rel, waypoint_l2, waypoint_rel = [], [], [], []
+    for a, b in zip(outs_a, outs_b):
+        n = min(len(a["tokens"]), len(b["tokens"]))
+        same = a["tokens"][:n] == b["tokens"][:n]
+        agree_num += int(same.sum())
+        agree_den += n
+        first_div.append(int(np.argmax(~same)) if not same.all() else n)
+        latent_rel.append(float(
+            np.linalg.norm(a["latent"] - b["latent"]) /
+            max(np.linalg.norm(a["latent"]), 1e-9)))
+        waypoint_l2.append(float(np.mean(
+            np.linalg.norm(a["traj"] - b["traj"], axis=-1))))
+        waypoint_rel.append(float(
+            np.linalg.norm(a["traj"] - b["traj"]) /
+            max(np.linalg.norm(a["traj"]), 1e-9)))
+    return {
+        "token_agreement": round(agree_num / max(agree_den, 1), 4),
+        "mean_first_divergence_tok": round(float(np.mean(first_div)), 2),
+        "traj_latent_rel_l2": round(float(np.mean(latent_rel)), 5),
+        "waypoint_mean_l2_m": round(float(np.mean(waypoint_l2)), 5),
+        "waypoint_rel_l2": round(float(np.mean(waypoint_rel)), 5),
+    }
+
+
+def bench_compare_quant_sequential(num_layers: int = 20, n_prompts: int = 6,
+                                   group_size: int = None,
+                                   weight_bits: int = 8) -> dict:
+    """Non-co-resident quant-quality comparison (VERDICT r3 #7): instead
+    of fitting both trees in HBM at once (depth-capped at 12), run the
+    bf16 pass at full requested depth, FREE it, deterministically
+    regenerate the identical bf16 tree, quantize it in place
+    (free_source=True drops each bf16 kernel as its quantized copy
+    lands), and run the quant pass — same prompts, same S1 rng. Depth is
+    then bounded by ONE tree (+1 layer transient), so the 16 GB v5e
+    reaches the full 28-layer trunk for the quant side and ~20 layers
+    for the bf16 side."""
+    import gc as _gc
+
+    from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Model
+    from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
+    from internnav_tpu.model.basemodel.internvla_n1.qwen_text import (
+        quantize_qwen_text_params_device,
+    )
+
+    # phase A: bf16 pass
+    cfg_bf = _full_n1_config(num_layers, "bf16")
+    model_bf = InternVLAN1Model(cfg_bf)
+    params_bf = _random_bf16_params(model_bf, cfg_bf, IMAGE_HW)
+    pol_bf = InternVLAN1Policy(model_bf, params_bf, cfg_bf)
+    outs_bf = _quality_prompts(pol_bf, cfg_bf, n_prompts)
+    del pol_bf, params_bf, model_bf
+    _gc.collect()
+
+    # phase B: regenerate the IDENTICAL tree (same cfg -> same eval_shape
+    # leaves -> same fold_in seeds), quantize in place, quant pass
+    cfg_bf2 = _full_n1_config(num_layers, "bf16")
+    model_bf2 = InternVLAN1Model(cfg_bf2)
+    params_src = _random_bf16_params(model_bf2, cfg_bf2, IMAGE_HW)
+    wdt = "int4" if weight_bits == 4 else "int8"
+    cfg_q = _full_n1_config(num_layers, wdt, quant_group_size=group_size)
+    params_q = dict(params_src)  # vision/S1 subtrees shared
+    params_q["language_model"] = quantize_qwen_text_params_device(
+        params_src["language_model"], group_size=group_size,
+        weight_bits=weight_bits, free_source=True)
+    del params_src
+    _gc.collect()
+    pol_q = InternVLAN1Policy(InternVLAN1Model(cfg_q), params_q, cfg_q)
+    outs_q = _quality_prompts(pol_q, cfg_q, n_prompts)
+
+    stats = _quality_compare(outs_bf, outs_q)
+    return {
+        "metric": f"{wdt}_vs_bf16_serving_quality_7b_width_sequential",
+        "value": stats["token_agreement"],
+        "unit": "greedy_token_agreement",
+        "vs_baseline": 1.0,
+        "detail": {
+            "num_layers": num_layers,
+            "group_size": group_size,
+            "weight_dtype": wdt,
+            "n_prompts": n_prompts,
+            "decode_tokens": DECODE_TOKENS,
+            **stats,
+            "scheme": "sequential (non-co-resident): bf16 pass -> free -> "
+                      "deterministic regeneration -> in-place device "
+                      "quantization (free_source) -> quant pass; same "
+                      "prompts, same S1 rng",
+            "caveat": "random weights -> near-uniform logits: token "
+                      "agreement is a pessimistic lower bound vs a "
+                      "trained checkpoint",
+        },
+    }
+
+
 def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
                         group_size: int = None,
                         weight_bits: int = 8) -> dict:
     """int8-vs-bf16 serving quality at true 7B width (VERDICT r2 #3).
+    See also bench_compare_quant_sequential for the non-co-resident
+    full-depth variant.
     weight_bits=4 compares the W4A8 (int4 grouped-128, lm_head int8)
     serving format against the same bf16 source instead.
 
@@ -696,9 +846,6 @@ def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
     compounds, so agreement at 28 layers is bounded below by these numbers
     minus the (reported) per-layer divergence trend.
     """
-    import jax
-    import jax.numpy as jnp
-
     from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Model
     from internnav_tpu.model.basemodel.internvla_n1.policy import InternVLAN1Policy
     from internnav_tpu.model.basemodel.internvla_n1.qwen_text import (
@@ -718,64 +865,12 @@ def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
         weight_bits=weight_bits)
     pol_q = InternVLAN1Policy(InternVLAN1Model(cfg_q), params_q, cfg_q)
 
-    instructions = [
-        "walk down the hallway past the kitchen then turn left",
-        "go straight through the door and stop at the sofa",
-        "turn right at the plant and wait near the staircase",
-        "exit the bedroom and move toward the dining table",
-        "follow the corridor to the end and stop by the window",
-        "enter the office and stand next to the bookshelf",
-    ]
-    rs = np.random.RandomState(7)
-    agree_num = agree_den = 0
-    first_div = []
-    latent_rel = []
-    waypoint_l2 = []
-    waypoint_rel = []
-
-    for i in range(n_prompts):
-        img = rs.randint(0, 255, (IMAGE_HW, IMAGE_HW, 3)).astype(np.uint8)
-        rgb2 = np.stack([img, img])[None]
-        instr = instructions[i % len(instructions)]
-        outs = {}
-        for name, pol in (("bf16", pol_bf), ("quant", pol_q)):
-            pol.tokenizer.eos_token_id = -7  # full decode budget both sides
-            pol.reset()
-            pol.rgb_list = [img] * 8
-            pol.episode_idx = 8
-            pol._rng = jax.random.PRNGKey(1000 + i)  # identical S1 noise
-            s2 = pol.s2_step(img, instr, max_new_tokens=DECODE_TOKENS)
-            latent = s2.output_latent
-            if latent is None:
-                latent = jnp.zeros((1, cfg_bf.n_query, cfg_bf.text.hidden_size),
-                                   jnp.bfloat16)
-            s1 = pol.s1_step_latent(rgb2, None, latent,
-                                    num_sample_trajs=NUM_SAMPLE_TRAJS)
-            outs[name] = {
-                "tokens": np.asarray(pol.last_gen_tokens),
-                "latent": np.asarray(latent, np.float32),
-                "traj": np.asarray(s1.trajectory, np.float32),
-            }
-
-        a, b = outs["bf16"], outs["quant"]
-        n = min(len(a["tokens"]), len(b["tokens"]))
-        same = a["tokens"][:n] == b["tokens"][:n]
-        agree_num += int(same.sum())
-        agree_den += n
-        first_div.append(int(np.argmax(~same)) if not same.all() else n)
-        lr = float(np.linalg.norm(a["latent"] - b["latent"]) /
-                   max(np.linalg.norm(a["latent"]), 1e-9))
-        latent_rel.append(lr)
-        wl = float(np.mean(np.linalg.norm(a["traj"] - b["traj"], axis=-1)))
-        waypoint_l2.append(wl)
-        waypoint_rel.append(float(
-            np.linalg.norm(a["traj"] - b["traj"]) /
-            max(np.linalg.norm(a["traj"]), 1e-9)))
-
-    agreement = agree_num / max(agree_den, 1)
+    outs_bf = _quality_prompts(pol_bf, cfg_bf, n_prompts)
+    outs_q = _quality_prompts(pol_q, cfg_q, n_prompts)
+    stats = _quality_compare(outs_bf, outs_q)
     return {
         "metric": f"{wdt}_vs_bf16_serving_quality_7b_width",
-        "value": round(agreement, 4),
+        "value": stats["token_agreement"],
         "unit": "greedy_token_agreement",
         "vs_baseline": 1.0,
         "detail": {
@@ -784,11 +879,7 @@ def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
             "weight_dtype": wdt,
             "n_prompts": n_prompts,
             "decode_tokens": DECODE_TOKENS,
-            "token_agreement": round(agreement, 4),
-            "mean_first_divergence_tok": round(float(np.mean(first_div)), 2),
-            "traj_latent_rel_l2": round(float(np.mean(latent_rel)), 5),
-            "waypoint_mean_l2_m": round(float(np.mean(waypoint_l2)), 5),
-            "waypoint_rel_l2": round(float(np.mean(waypoint_rel)), 5),
+            **stats,
             "scheme": f"symmetric {wdt} weight-only "
                       "(deployment quantizer), shared random bf16 source "
                       "weights, identical S1 rng",
@@ -862,6 +953,10 @@ def main() -> None:
     ap.add_argument("--compare-quant", action="store_true",
                     help="int8-vs-bf16 quality: greedy-token agreement + "
                          "waypoint L2 on shared weights at 7B width")
+    ap.add_argument("--compare-quant-sequential", action="store_true",
+                    help="non-co-resident quant quality: bf16 pass, free, "
+                         "regenerate + quantize in place, quant pass — "
+                         "reaches full depth on one 16 GB chip")
     ap.add_argument("--quant-layers", type=int, default=12,
                     help="decoder depth for --compare-quant (both trees "
                          "must fit in HBM together)")
@@ -958,6 +1053,11 @@ def main() -> None:
 
     if args.small:
         result = bench_small()
+    elif args.compare_quant_sequential:
+        result = bench_compare_quant_sequential(
+            args.quant_layers,  # pass explicitly; 20 fits bf16-alone on v5e
+            group_size=args.quant_group or None,
+            weight_bits=args.quant_bits)
     elif args.compare_quant:
         result = bench_compare_quant(args.quant_layers,
                                      group_size=args.quant_group or None,

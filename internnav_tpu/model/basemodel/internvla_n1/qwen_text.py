@@ -271,11 +271,14 @@ def quantize_qwen_text_params(params: Dict, per_channel_axis: int = 0,
 
 def quantize_qwen_text_params_device(params: Dict,
                                      group_size: int = None,
-                                     weight_bits: int = 8) -> Dict:
+                                     weight_bits: int = 8,
+                                     free_source: bool = False) -> Dict:
     """Same math as quantize_qwen_text_params but jitted on-device — for
     quantizing an already-resident bf16 tree without a round trip over the
     (slow) host link. Leaves the source tree intact so bf16-vs-int8
-    comparisons can share the same underlying weights. group_size=g emits
+    comparisons can share the same underlying weights — unless
+    free_source=True, which deletes each bf16 kernel right after its
+    quantized copy materializes (non-kernel leaves pass through shared). group_size=g emits
     per-(input-group x output-channel) scales (G, N) matching
     QuantDense(group_size=g); kernels whose input dim g doesn't divide
     fall back to per-channel, exactly as QuantDense does. weight_bits=4
@@ -318,6 +321,14 @@ def quantize_qwen_text_params_device(params: Dict,
                         qk, s = q_grouped(w, bits)
                     else:
                         qk, s = q(w, bits)
+                    if free_source:
+                        # sequential-comparison mode: drop each bf16
+                        # kernel as soon as its quantized copy exists so
+                        # the HBM peak is max(bf16, int8) + one layer,
+                        # not their sum (16 GB v5e can then quantize a
+                        # full-depth trunk in place)
+                        qk.block_until_ready()
+                        w.delete()
                     new = {"kernel_q": qk, "scale_q": s}
                     if "bias" in v:
                         new["bias"] = v["bias"]

@@ -79,3 +79,42 @@ def test_bench_evaluator_path_smoke(monkeypatch):
     assert ep["action_latency_p99_ms"] >= ep["action_latency_p50_ms"]
     assert ep["vs_serving_loop"] > 0
     assert ep["episodes"] == ctx["batch"] * ctx["cohorts"]
+
+
+def test_bench_compare_quant_sequential_smoke(monkeypatch):
+    """Sequential (non-co-resident) quant-quality path at tiny dims:
+    bf16 pass -> free -> deterministic regeneration -> in-place
+    quantization (free_source) -> quant pass. The regenerated tree must
+    be identical, so waypoint/latent deltas stay tiny and the schema is
+    the same as the co-resident compare."""
+    import dataclasses
+
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Config,
+    )
+
+    def tiny_quant_cfg(num_layers, weight_dtype="bf16",
+                       quant_group_size=None, decode_act_dtype=None):
+        cfg = InternVLAN1Config.tiny("nextdit_async")
+        tc = dataclasses.replace(cfg.text, weight_dtype=weight_dtype,
+                                 quant_group_size=quant_group_size)
+        return dataclasses.replace(cfg, text=tc)
+
+    monkeypatch.setattr(bench_mod, "_full_n1_config", tiny_quant_cfg)
+    monkeypatch.setattr(bench_mod, "IMAGE_HW", 56)
+    monkeypatch.setattr(bench_mod, "DECODE_TOKENS", 4)
+    monkeypatch.setattr(bench_mod, "NUM_SAMPLE_TRAJS", 4)
+
+    res = bench_mod.bench_compare_quant_sequential(num_layers=2, n_prompts=2)
+    det = res["detail"]
+    assert res["unit"] == "greedy_token_agreement"
+    assert 0.0 <= res["value"] <= 1.0
+    assert det["waypoint_mean_l2_m"] >= 0
+    assert det["traj_latent_rel_l2"] < 1.0  # same source weights
+    assert "sequential" in det["scheme"]
+
+    # co-resident compare on the same tiny dims: schemas must line up so
+    # the depth-sweep table can mix both
+    res2 = bench_mod.bench_compare_quant(num_layers=2, n_prompts=2)
+    assert set(res2["detail"]) - {"caveat", "scheme"} \
+        == set(det) - {"caveat", "scheme"}

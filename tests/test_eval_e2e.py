@@ -101,8 +101,11 @@ def test_eval_loop_cma_agent(tmp_path):
     assert metrics["num_episodes"] == 2
 
 
+@pytest.mark.slow
 def test_seq2seq_agent_batch_state(tmp_path):
-    """Recurrent agent keeps independent per-env state and resets slices."""
+    """Recurrent agent keeps independent per-env state and resets slices
+    (slow tier: the real policy step compiles ~35 s; the slice logic has
+    a compile-free fast variant below)."""
     from internnav_tpu.agent import Seq2SeqAgent
 
     agent = Seq2SeqAgent(AgentCfg(model_name="seq2seq"))
@@ -121,6 +124,23 @@ def test_seq2seq_agent_batch_state(tmp_path):
     agent.reset([0])
     assert np.abs(agent._states[0]).sum() == 0
     assert np.abs(agent._states[1]).sum() > 0
+
+
+def test_seq2seq_agent_reset_slices_fast():
+    """Compile-free variant of the per-env state reset: slices zero
+    independently (full step parity stays in the slow variant)."""
+    from internnav_tpu.agent import Seq2SeqAgent
+
+    agent = Seq2SeqAgent(AgentCfg(model_name="seq2seq"))
+    agent._states = np.ones((2, agent.num_layers, agent.hidden_size),
+                            np.float32)
+    agent._prev_actions = np.ones((2, 1), np.int32)
+    agent._not_done = np.ones((2, 1), np.float32)
+    agent.reset([0])
+    assert np.abs(agent._states[0]).sum() == 0
+    assert np.abs(agent._states[1]).sum() > 0
+    agent.reset()
+    assert np.abs(agent._states).sum() == 0
 
 
 def test_pipelined_eval_resume_skips_done(tmp_path):

@@ -3,6 +3,7 @@
 `greedy_generate` / `decode_chunk`."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +36,10 @@ def _prefill(model, params, ids, extra):
     return first, caches, prompt_len, deltas.astype(jnp.int32)
 
 
+@pytest.mark.slow
 def test_grouped_greedy_matches_per_group():
+    # slow tier: the grouped-decode while_loop compiles dominate (~40 s);
+    # the same parity also runs e2e in test_serving_shared_decode
     cfg = QwenTextConfig.tiny()
     model = QwenTextModel(cfg)
     rng = jax.random.PRNGKey(2)
