@@ -301,15 +301,16 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
 
     def eval_action(self) -> List[Dict[str, Any]]:
         cohorts = self._build_cohorts()
+        by_idx = {c.idx: c for c in cohorts}
         for c in cohorts:
             c.start()
         gens: Dict[int, Any] = {}
-        out: Dict[int, Any] = {}
         while True:
             # phase 0: spawn a coroutine per live cohort (submits its first
-            # device program, then yields)
+            # device program, then yields). Cohorts stay in macro-step
+            # lockstep so the shared decode/S1 pools group every cohort's
+            # work into one device program.
             gens.clear()
-            out.clear()
             for c in cohorts:
                 batch = c.build_batch(self._fake_obs)
                 if batch is not None:
@@ -317,19 +318,21 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
             if not gens:
                 break
             # round-robin: advance each coroutine one hop per pass, so one
-            # cohort's host work runs while the others' programs execute
+            # cohort's host work runs while the others' programs execute.
+            # A cohort's env stepping + bookkeeping (apply) runs the moment
+            # ITS coroutine completes — overlapping the peers' still
+            # in-flight device programs and fetches, instead of a serial
+            # all-cohorts host phase after the barrier (measured: the
+            # barrier form left the chip idle for the entire sim-stepping
+            # phase every macro-step; see docs/BENCH_METHOD.md).
             live = dict(gens)
             while live:
                 for ci in list(live):
                     try:
                         next(live[ci])
                     except StopIteration as stop:
-                        out[ci] = stop.value
                         del live[ci]
-            # host phase: env stepping + bookkeeping per cohort
-            for c in cohorts:
-                if c.idx in out:
-                    c.apply(out[c.idx])
+                        by_idx[ci].apply(stop.value)
         results: List[Dict[str, Any]] = []
         for c in cohorts:
             results.extend(c.results)

@@ -237,7 +237,9 @@ def test_pipelined_evaluator_shared_decode_matches(tmp_path):
 
     ref = run(False, "plain")
     got = run(True, "shared")
-    drop = ("wall_clock_s",)
+    drop = ("wall_clock_s", "action_latency_p50_ms",
+            "action_latency_p90_ms", "action_latency_p99_ms",
+            "action_latency_mean_ms")  # wall-time metrics, not semantics
     ref = {k: v for k, v in ref.items() if k not in drop}
     got = {k: v for k, v in got.items() if k not in drop}
     assert got == ref, (got, ref)
@@ -282,7 +284,9 @@ def test_pipelined_evaluator_shared_s1_matches(tmp_path):
 
     ref = run(False, "plain_s1")
     got = run(True, "shared_s1")
-    drop = ("wall_clock_s",)
+    drop = ("wall_clock_s", "action_latency_p50_ms",
+            "action_latency_p90_ms", "action_latency_p99_ms",
+            "action_latency_mean_ms")  # wall-time metrics, not semantics
     ref = {k: v for k, v in ref.items() if k not in drop}
     got = {k: v for k, v in got.items() if k not in drop}
     assert got == ref, (got, ref)
