@@ -318,6 +318,8 @@ class BatchedInternVLAN1Agent(Agent):
         self.max_new_tokens = int(settings.get("max_new_tokens", 128))
         self.continuous_traj = bool(settings.get("continuous_traj", True))
         self.num_sample_trajs = int(settings.get("num_sample_trajs", 32))
+        self.depth_scale = float(settings.get("depth_scale", 10.0))
+        self.depth_clip_m = float(settings.get("depth_clip_m", 5.0))
         self.states = [_DualState() for _ in range(self.batch_size)]
         self._instructions = [""] * self.batch_size
         #: optional serving.SharedDecodePool — when set (by a multi-cohort
@@ -412,7 +414,34 @@ class BatchedInternVLAN1Agent(Agent):
             cur = np.stack([np.asarray(obs[i]["rgb"]) for i in s1_ids])
             lat = jnp.concatenate(
                 [jnp.asarray(self.states[i].latent) for i in s1_ids], axis=0)
-            if self.s1_pool is not None:
+            system1 = getattr(getattr(self.policy, "cfg", None),
+                              "system1", "") or ""
+            if "navdp" in system1:
+                # navdp head consumes explicit [memory, current] RGBD pairs
+                # (serving._s1_submit_navdp); assemble them from per-slot
+                # state + current obs with the single-stream preprocessing
+                # (depth x scale, clamp; memory depth approximated by the
+                # current depth exactly like InternVLAN1Agent._consume_s2)
+                rgb_pairs, depth_pairs = [], []
+                for k, i in enumerate(s1_ids):
+                    cur_i = cur[k]
+                    mem = self.states[i].memory_frame
+                    rgb_pairs.append(np.stack(
+                        [cur_i if mem is None else mem, cur_i]))
+                    d = obs[i].get("depth")
+                    if d is None:
+                        d = np.zeros(cur_i.shape[:2] + (1,), np.float32)
+                    d = np.clip(np.asarray(d, np.float32) * self.depth_scale,
+                                0.0, self.depth_clip_m)
+                    if d.ndim == 2:
+                        d = d[..., None]
+                    depth_pairs.append(np.stack([d, d]))
+                h1 = self.policy.s1_submit(
+                    np.stack(rgb_pairs), lat,
+                    num_sample_trajs=self.num_sample_trajs,
+                    depth=np.stack(depth_pairs))
+                yield  # device busy: navdp denoise in flight
+            elif self.s1_pool is not None:
                 spec = self.policy.s1_prepare(
                     cur, lat, num_sample_trajs=self.num_sample_trajs,
                     slot_ids=s1_ids)

@@ -62,6 +62,8 @@ class HabitatDialogEvaluator(Evaluator):
             return None
         path_description, pl = get_description(self.sim, ep, object_dict,
                                                region_dict)
+        # path-search failure yields pl=inf (unknown is never arrival);
+        # a degenerate at-goal path yields pl=0 with no description
         task_done = pl < 3  # reference also requires the goal in view
         answer = self.npc.answer_question(
             question=question, instance_id=instance_id,

@@ -108,21 +108,9 @@ DISAMBIGUATION_PROMPT = {
     ],
 }
 
-ROOM_NAMES = {
-    "living region": "living room",
-    "stair region": "stairs",
-    "bathing region": "bathroom",
-    "storage region": "storage room",
-    "study region": "study room",
-    "cooking region": "kitchen",
-    "sports region": "sports room",
-    "corridor region": "corridor",
-    "toliet region": "toilet",
-    "dinning region": "dining room",
-    "resting region": "resting room",
-    "open area region": "open area",
-    "other region": "area",
-}
+# single source of truth for the MP3D region-label table (oracle.py);
+# a copy here would drift
+from internnav_tpu.dialog.oracle import ROOM_NAMES  # noqa: E402
 
 
 def goal_information(instance_id: str, object_dict: Dict[str, Any]) -> str:
@@ -144,7 +132,7 @@ def goal_information(instance_id: str, object_dict: Dict[str, Any]) -> str:
     ]
     if nearby:
         out += "\nnearby objects: " + ",".join(nearby)
-    out += "whole description: " + info.get("caption", "")
+    out += "\nwhole description: " + info.get("caption", "")
     return out
 
 

@@ -389,14 +389,17 @@ def _mark_floor_changes(info, path, height_list) -> None:
             info[i]["turn"].append("down")
 
 
-def _mark_sharp_turns(info, sampled: List[int], threshold: float = 40.0) -> None:
+def _mark_sharp_turns(info, sampled: List[int], threshold: float = 40.0,
+                      turn_sign: float = 1.0) -> None:
     """Sharp turns on the subsampled polyline, written back to original
     indices (get_description.py:606-612; sign read along the habitat up
-    axis, equivalent to the reference's axis permutation)."""
+    axis, equivalent to the reference's axis permutation). `turn_sign`
+    flips the left/right label for mirrored (chirality-reversed) frames —
+    see get_description."""
     pts = np.asarray([info[i]["position"] for i in sampled], np.float64)
     turn_idx, turn_angles = find_sharp_turns(pts, threshold=threshold, up_axis=1)
     for k, idx in enumerate(turn_idx):
-        info[sampled[int(idx)]]["turn"].append(float(turn_angles[k]))
+        info[sampled[int(idx)]]["turn"].append(turn_sign * float(turn_angles[k]))
 
 
 # --------------------------------------------------------------------------
@@ -429,17 +432,23 @@ def _numbered(description: str) -> str:
 
 
 def describe_path(rotation, path, object_dict, region_dict,
-                  height_list=None, choice: Choice = None) -> str:
+                  height_list=None, choice: Choice = None,
+                  turn_sign: float = 1.0) -> str:
     """Step-by-step route description with scene annotations
-    (get_path_description, get_description.py:383-468)."""
+    (get_path_description, get_description.py:383-468). `turn_sign=-1`
+    flips left/right labels for chirality-reversed point frames."""
     choice = choice or np.random.choice
     if len(path) == 0:
         return ""
     oracle = SceneOracle(object_dict, region_dict)
     info = oracle.annotate_path(path, height_list)
+    for i in info:
+        info[i]["turn"] = [t if isinstance(t, str) else turn_sign * t
+                           for t in info[i]["turn"]]
     special = [i for i in info if (info[i]["new_room"] or info[i]["turn"]) and i != 0]
 
-    angle0 = yaw_rotation_to(rotation, info[0]["position"], info[1]["position"])
+    angle0 = turn_sign * yaw_rotation_to(
+        rotation, info[0]["position"], info[1]["position"])
     h_diff = (info[1]["position"][1] - info[0]["position"][1]
               if height_list is None else height_list[1] - height_list[0])
     out = _start_phrase(angle0, h_diff, choice)
@@ -457,8 +466,12 @@ def describe_path(rotation, path, object_dict, region_dict,
                     continue
                 side = "left" if turn > 0 else "right"
                 out += (choice(PHRASES["conjunction"]) + " "
-                        + choice(PHRASES["turn"]).format(turn=side) + " "
-                        + choice(PHRASES["preposition"]).format(object=landmark) + ", ")
+                        + choice(PHRASES["turn"]).format(turn=side))
+                # rooms with only structural objects yield no landmark —
+                # phrase the turn without a preposition instead of "the None"
+                if landmark is not None:
+                    out += " " + choice(PHRASES["preposition"]).format(object=landmark)
+                out += ", "
             stairs = next((d for d in ("up", "down") if d in info[i]["turn"]), None)
             if stairs:
                 out += (choice(PHRASES["conjunction"]) + " "
@@ -471,7 +484,7 @@ def describe_path(rotation, path, object_dict, region_dict,
 
 
 def describe_path_plain(rotation, path, height_list=None,
-                        choice: Choice = None) -> str:
+                        choice: Choice = None, turn_sign: float = 1.0) -> str:
     """Route description without scene annotations — turns phrased by
     walked distance instead of landmarks
     (get_path_description_without_additional_info,
@@ -482,11 +495,11 @@ def describe_path_plain(rotation, path, height_list=None,
     info = {i: {"position": path[i], "turn": []} for i in range(len(path))}
     _mark_floor_changes(info, path, height_list)
     sampled, _ = sample_points(path, [""] * len(path), 1.0)
-    _mark_sharp_turns(info, sampled)
+    _mark_sharp_turns(info, sampled, turn_sign=turn_sign)
     special = [i for i in info if info[i]["turn"] and i != 0]
 
-    angle0 = yaw_rotation_to(rotation, info[sampled[0]]["position"],
-                             info[sampled[1]]["position"])
+    angle0 = turn_sign * yaw_rotation_to(rotation, info[sampled[0]]["position"],
+                                         info[sampled[1]]["position"])
     h_diff = (info[sampled[1]]["position"][1] - info[sampled[0]]["position"][1]
               if height_list is None
               else height_list[sampled[1]] - height_list[sampled[0]])
@@ -566,8 +579,12 @@ def get_description(sim, episode, object_dict, region_dict,
     object_dict.json / region_dict.json load unmodified.
     """
     path, ok = _shortest_path_to_goal(sim, episode)
-    if not ok or len(np.unique(np.asarray(path), axis=0)) == 1:
-        return None, 0.0
+    if not ok:
+        # no navigable path: remaining distance is UNKNOWN, not zero —
+        # callers judging arrival by `pl` must not read failure as arrival
+        return None, float("inf")
+    if len(np.unique(np.asarray(path), axis=0)) == 1:
+        return None, 0.0  # agent is standing at the goal; nothing to describe
     planar = np.asarray(path, np.float64)
     if planar.shape[1] == 2:
         planar = np.concatenate([planar, np.zeros((len(planar), 1))], axis=1)
@@ -576,7 +593,9 @@ def get_description(sim, episode, object_dict, region_dict,
     pl = float(cum[-1])
     goal_index = max(i for i, c in enumerate(cum) if c < 4)
     if goal_index == 0:
-        goal_index = len(planar) - 1
+        # first segment alone is >= 4 m: keep exactly one segment (the
+        # "first < 4 m" truncation's minimum), not the whole remaining path
+        goal_index = 1
     questioned = _dedupe_preserve_order(planar[: goal_index + 1])
     hab = [np.asarray(p, np.float64)[[0, 2, 1]] for p in questioned]
     heading = float(getattr(sim, "heading", getattr(sim, "yaw", 0.0)))
@@ -584,10 +603,19 @@ def get_description(sim, episode, object_dict, region_dict,
     pos = np.asarray(sim.position, np.float64)
     height = float(pos[2]) if pos.shape[0] > 2 else 0.0
     heights = [height] * len(hab)
+    # the (x, y, h) -> (x, h, y) permutation preserves distances and
+    # containment but MIRRORS chirality when the sim's planar frame is
+    # right-handed CCW (z-up robotics convention: turn-left = yaw+, like
+    # FakeSim). HabitatSimAdapter's planar frame (x, z_hab) is already
+    # left-handed (habitat yaw+ about +y is CW in (x, z)), so the
+    # permutation lands it exactly in the habitat frame with no flip.
+    # Sims declare their convention via `planar_ccw`; CCW is the default.
+    turn_sign = -1.0 if bool(getattr(sim, "planar_ccw", True)) else 1.0
     try:
         desc = describe_path(forward, hab, object_dict, region_dict,
-                             height_list=heights, choice=choice)
+                             height_list=heights, choice=choice,
+                             turn_sign=turn_sign)
     except Exception:
         desc = describe_path_plain(forward, hab, height_list=heights,
-                                   choice=choice)
+                                   choice=choice, turn_sign=turn_sign)
     return desc, pl

@@ -56,6 +56,9 @@ class VLNPEBatchAdapter:
         self.episode_results: List[Dict[str, Any]] = []
         self._path_keys: List[Optional[str]] = [None] * self.env_num
         self._done: np.ndarray = np.zeros((self.env_num,), bool)
+        #: last raw flat obs per slot that carried a real capture — partial
+        #: resets must NOT replace live slots' frames with zero fills
+        self._last_flat: List[Dict[str, Any]] = [{} for _ in range(self.env_num)]
 
     # ------------------------------------------------------------ protocol
     @property
@@ -86,7 +89,25 @@ class VLNPEBatchAdapter:
                 self._done[i] = True
         if fresh:
             obs = self._warm_up()
-        return self._to_obs_list(obs)
+            return self._to_obs_list(obs)
+        # partial re-reset: the vec env's reset obs carries no capture
+        # (Isaac renders only at macro-step finish). Keep every live
+        # slot's last real frame and give the reset slots a fresh
+        # side-effect-free capture where the backend can provide one.
+        flat = self._flatten(obs)
+        frames = (self.env.render_frames()
+                  if hasattr(self.env, "render_frames") else None)
+        merged = []
+        for i, ob in enumerate(flat):
+            if i in ids:
+                if frames is not None and frames[i] is not None:
+                    ob = dict(ob)
+                    ob.update(frames[i])
+                self._last_flat[i] = ob
+                merged.append(ob)
+            else:
+                merged.append(self._last_flat[i] or ob)
+        return self._to_obs_list([{self.robot_name: m} for m in merged])
 
     def _warm_up(self):
         live = self.status == _Status.WARM_UP
@@ -102,6 +123,7 @@ class VLNPEBatchAdapter:
                    for i in range(self.env_num) if live[i]):
                 break
         self.status[live] = _Status.NORMAL
+        self._remember(self._flatten(obs))
         return obs
 
     def step(self, actions: Sequence[int]):
@@ -135,9 +157,15 @@ class VLNPEBatchAdapter:
                 m.setdefault("path_key", self._path_keys[i])
                 self.episode_results.append(m)
                 self._done[i] = True
+        self._remember(flat)
         return self._to_obs_list(obs)
 
     # ------------------------------------------------------------ internals
+    def _remember(self, flat: List[Dict[str, Any]]) -> None:
+        for i, ob in enumerate(flat):
+            if ob.get("rgb") is not None:
+                self._last_flat[i] = ob
+
     def _transform(self, actions: Sequence[int]) -> List[Dict[str, Any]]:
         """Discrete ints -> controller command dicts (reference
         _transform_action_batch :106-126). 0=stop, -1=stand_still,

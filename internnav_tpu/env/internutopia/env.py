@@ -150,6 +150,12 @@ class InternutopiaEnv(Env):
     def get_observation(self) -> List[Dict[str, Any]]:
         return self.env.get_observations()
 
+    def render_frames(self):
+        """Side-effect-free capture passthrough (backends that can't render
+        outside the macro-step protocol simply don't expose it)."""
+        fn = getattr(self.env, "render_frames", None)
+        return fn() if fn is not None else None
+
     @property
     def is_running(self) -> bool:
         return True

@@ -164,6 +164,14 @@ class FakePhysicsVecEnv:
     def get_observations(self):
         return [self._observe(s) for s in self.slots]
 
+    def render_frames(self):
+        """Side-effect-free rgb/depth capture of every live slot at its
+        current pose (no step accounting, no physics). Used by the batch
+        adapter to give freshly reset slots a real first frame — something
+        real Isaac cannot do pre-settle, but the kinematic backend can."""
+        return [self._render(s) if (s.spec is not None and not s.done)
+                else None for s in self.slots]
+
     def close(self) -> None:
         pass
 

@@ -56,8 +56,21 @@ class Evaluator:
 
     register = staticmethod(evaluator_registry.register)
 
+    #: modules whose import registers additional evaluators; lazy-loaded by
+    #: init() so eval_type='habitat_vln'/'habitat_dialog' resolve from the
+    #: CLI without import-time cycles (dialog.evaluator imports this module)
+    _LAZY_EVALUATOR_MODULES = (
+        "internnav_tpu.habitat.evaluator",
+        "internnav_tpu.dialog.evaluator",
+    )
+
     @classmethod
     def init(cls, cfg: EvalCfg, **kwargs) -> "Evaluator":
+        if cfg.eval_type not in evaluator_registry:
+            import importlib
+
+            for mod in cls._LAZY_EVALUATOR_MODULES:
+                importlib.import_module(mod)
         return evaluator_registry.build(cfg.eval_type, cfg, **kwargs)
 
     # ------------------------------------------------------------- template

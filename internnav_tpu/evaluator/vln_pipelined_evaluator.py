@@ -144,8 +144,10 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
             kwargs.setdefault("env", self._prebuilt_envs[0])
         else:
             self.cohort_count = int(settings.get("cohorts", 2))
-        if (self._prebuilt_envs is None and cfg.env.env_type != "fake"
-                and (self.cohort_count > 1 or self._env_factory)):
+        if self._prebuilt_envs is None and cfg.env.env_type != "fake":
+            # ANY real env_type goes through _build_real_envs — including
+            # cohorts=1, which previously fell through to the base class's
+            # implicit FakeEnv and silently evaluated on the fake backend
             episodes, self._prebuilt_envs = self._build_real_envs(
                 cfg, episodes)
             kwargs.setdefault("env", self._prebuilt_envs[0])

@@ -20,6 +20,10 @@ from internnav_tpu.env.fake_env import FORWARD_DIST, TURN_RAD, procedural_frame
 class FakeSim:
     """Kinematic single-episode sim with the HabitatSimLike surface."""
 
+    # planar frame is right-handed z-up: turn_left = yaw+ = CCW in (x, y).
+    # Read by the dialog oracle to orient left/right in path descriptions.
+    planar_ccw = True
+
     def __init__(self, rgb_hw=(224, 224), max_steps: int = 500):
         self.rgb_hw = rgb_hw
         self.max_steps = max_steps
@@ -116,6 +120,12 @@ class NavmeshFakeSim(FakeSim):
 
 class HabitatSimAdapter:
     """Wraps habitat.Env (only importable when habitat is installed)."""
+
+    # planar coords are (x_hab, z_hab): habitat yaw+ (a LEFT turn, about
+    # +y) is clockwise in that plane, so the planar frame is left-handed.
+    # The dialog oracle's (x, h, y) permutation therefore lands these
+    # points in the habitat frame with correct chirality (no flip).
+    planar_ccw = False
 
     LOOK_ACTIONS = {5: "look_down", 6: "look_up"}
     BASE_ACTIONS = {0: "stop", 1: "move_forward", 2: "turn_left", 3: "turn_right"}

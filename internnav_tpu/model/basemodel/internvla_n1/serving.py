@@ -578,6 +578,10 @@ class BatchedN1Policy:
         if "navdp" in cfg.system1:
             return self._s1_submit_navdp(rgb, depth, latents,
                                          num_sample_trajs)
+        if "nextdit" not in cfg.system1:
+            raise NotImplementedError(
+                f"batched serving supports the nextdit and navdp System-1 "
+                f"heads; got system1={cfg.system1!r}")
         B = rgb.shape[0]
 
         if rgb.ndim == 5:  # legacy [memory, current] pairs
