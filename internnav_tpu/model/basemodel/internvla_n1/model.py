@@ -74,14 +74,18 @@ class InternVLAN1Config:
 
     @classmethod
     def qwen25vl_7b(cls, system1: str = "nextdit_async",
-                    weight_dtype: str = "bf16") -> "InternVLAN1Config":
+                    weight_dtype: str = "bf16",
+                    kv_dtype: str = "bf16") -> "InternVLAN1Config":
         """The flagship deployment config: true Qwen2.5-VL-7B dims (the
         QwenTextConfig/QwenVisionConfig defaults), bf16 activations;
-        weight_dtype='int8' selects the W8A8-resident serving format."""
+        weight_dtype='int8' selects the W8A8-resident serving format;
+        kv_dtype='int8' stores the decode KV cache quantized (halves its
+        HBM footprint and read traffic — see QwenTextConfig.kv_dtype)."""
         import jax.numpy as jnp
 
         return cls(text=QwenTextConfig(dtype=jnp.bfloat16,
-                                       weight_dtype=weight_dtype),
+                                       weight_dtype=weight_dtype,
+                                       kv_dtype=kv_dtype),
                    vision=QwenVisionConfig(dtype=jnp.bfloat16),
                    system1=system1)
 

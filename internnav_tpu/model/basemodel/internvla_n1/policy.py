@@ -525,7 +525,11 @@ class InternVLAN1Policy:
         )
 
         def fn(params, trees, first_tok, rope_deltas, prompt_len):
-            group_sizes = [t[0][0].shape[0] for t in trees]
+            from internnav_tpu.model.basemodel.internvla_n1.qwen_text import (
+                _entry_data,
+            )
+
+            group_sizes = [_entry_data(t[0][0]).shape[0] for t in trees]
             offs = np.cumsum([0] + group_sizes)
             tokens, lengths, trees2 = greedy_decode_grouped(
                 text_model, params["language_model"], first_tok, trees,

@@ -68,6 +68,17 @@ class QwenTextConfig:
     #: STRICTLY closer to the bf16 reference than W8A8. Prefill keeps W8A8:
     #: it is MXU-bound and the int8 rate is ~2x bf16.
     decode_act_dtype: str = "int8"
+    #: KV-cache storage dtype: "bf16" (parity default) or "int8"
+    #: (symmetric per-token-per-kv-head scales over head_dim). int8 halves
+    #: the cache's HBM footprint AND its per-decode-token read traffic —
+    #: at large stream counts (the pipelined serving topology) the cache
+    #: read grows linearly with streams while the weight stream is shared,
+    #: so the cache becomes the scaling limiter; int8 KV doubles the
+    #: stream count at which that happens. The scales multiply attention
+    #: LOGITS (k) and probabilities (v), not the cache data, so the int8
+    #: cache is never dequantized into a bf16 copy (flash_attention.py
+    #: gqa_decode_attention k_scale/v_scale).
+    kv_dtype: str = "bf16"
 
     @classmethod
     def tiny(cls) -> "QwenTextConfig":
@@ -410,23 +421,26 @@ class QwenAttention(nn.Module):
             outs, new_groups = [], []
             r = 0
             for (kc, vc), cl in zip(cache_groups, cache_len_groups):
-                Bg = kc.shape[0]
+                Bg = _entry_data(kc).shape[0]
                 qg = q[r:r + Bg]
                 kg = k[r:r + Bg].transpose(0, 2, 1, 3)  # (Bg, n, KV, D)
                 vg = v[r:r + Bg]
                 if n == 1:
                     kc = _write_cache(kc, kg[:, 0], cl)
                     vc = _write_cache(vc, vg[:, 0], cl)
+                    kd, ks = _cache_kvtd(kc)
+                    vd, vs = _cache_kvtd(vc)
                     og = gqa_decode_attention(
-                        qg[:, :, 0], kc.transpose(0, 2, 1, 3),
-                        vc.transpose(0, 2, 1, 3), cl + 1,
+                        qg[:, :, 0], kd, vd, cl + 1,
+                        k_scale=ks, v_scale=vs,
                     ).reshape(Bg, 1, H * D)
                 else:
                     kc = _write_cache_chunk(kc, kg, cl)
                     vc = _write_cache_chunk(vc, vg, cl)
+                    kd, ks = _cache_kvtd(kc)
+                    vd, vs = _cache_kvtd(vc)
                     og = gqa_chunk_decode_attention(
-                        qg, kc.transpose(0, 2, 1, 3),
-                        vc.transpose(0, 2, 1, 3), cl,
+                        qg, kd, vd, cl, k_scale=ks, v_scale=vs,
                     ).transpose(0, 2, 1, 3).reshape(Bg, n, H * D)
                 outs.append(og)
                 new_groups.append((kc, vc))
@@ -446,7 +460,12 @@ class QwenAttention(nn.Module):
             out = flash_attention(q, k_rep, v_rep, causal=True,
                                   segment_ids=segment_ids)
             out = out.transpose(0, 2, 1, 3).reshape(B, T, H * D)
-            new_cache = (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))  # (B,T,KV,D)
+            k_t = k.transpose(0, 2, 1, 3)  # (B, T, KV, D)
+            v_t = v.transpose(0, 2, 1, 3)
+            if c.kv_dtype == "int8":
+                new_cache = (quantize_kv(k_t), quantize_kv(v_t))
+            else:
+                new_cache = (k_t, v_t)
         elif x.shape[1] == 1:
             # decode: x is (B, 1, D)
             k_cache, v_cache = kv_cache
@@ -460,9 +479,10 @@ class QwenAttention(nn.Module):
             # cache traffic at the 7B H/KV ratio)
             from internnav_tpu.ops.flash_attention import gqa_decode_attention
 
+            kd, ks = _cache_kvtd(k_cache)
+            vd, vs = _cache_kvtd(v_cache)
             out = gqa_decode_attention(
-                q[:, :, 0], k_cache.transpose(0, 2, 1, 3),
-                v_cache.transpose(0, 2, 1, 3), pos + 1,
+                q[:, :, 0], kd, vd, pos + 1, k_scale=ks, v_scale=vs,
             )
             out = out.reshape(B, 1, H * D)
             new_cache = (k_cache, v_cache)
@@ -484,9 +504,10 @@ class QwenAttention(nn.Module):
                                          cache_len)
             v_cache = _write_cache_chunk(v_cache, v.reshape(B, n, KV, D),
                                          cache_len)
+            kd, ks = _cache_kvtd(k_cache)
+            vd, vs = _cache_kvtd(v_cache)
             out = gqa_chunk_decode_attention(
-                q, k_cache.transpose(0, 2, 1, 3),
-                v_cache.transpose(0, 2, 1, 3), cache_len,
+                q, kd, vd, cache_len, k_scale=ks, v_scale=vs,
             )
             out = out.transpose(0, 2, 1, 3).reshape(B, n, H * D)
             new_cache = (k_cache, v_cache)
@@ -494,9 +515,42 @@ class QwenAttention(nn.Module):
         return out, new_cache
 
 
+def quantize_kv(x):
+    """Symmetric int8 quantization over the last axis (head_dim):
+    x (..., D) → (data int8 (..., D), scale f32 (..., 1)) with
+    x ≈ data * scale. One scale per (token, kv-head): exact to ~scale/2
+    per element, and the scale multiplies attention logits/probs rather
+    than the cache data, so the int8 cache never materializes a bf16
+    copy (gqa_decode_attention k_scale/v_scale)."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def _entry_data(entry):
+    """A cache entry is a plain (B, Tmax, KV, D) array (bf16 path) or an
+    (int8 data, f32 scale (B, Tmax, KV, 1)) tuple (kv_dtype='int8')."""
+    return entry[0] if isinstance(entry, tuple) else entry
+
+
+def _cache_kvtd(entry):
+    """Entry → ((B, KV, Tmax, D) data, (B, KV, Tmax) scale-or-None) in the
+    layout gqa_decode_attention consumes."""
+    if isinstance(entry, tuple):
+        data, scale = entry
+        return (data.transpose(0, 2, 1, 3),
+                scale.transpose(0, 2, 1, 3)[..., 0])
+    return entry.transpose(0, 2, 1, 3), None
+
+
 def _write_cache_chunk(cache, new_kv, pos):
-    """cache (B, Tmax, KV, D); new_kv (B, n, KV, D) written contiguously at
-    per-row start positions pos (B,)."""
+    """cache entry (B, Tmax, KV, D) or quant tuple; new_kv (B, n, KV, D)
+    written contiguously at per-row start positions pos (B,)."""
+    if isinstance(cache, tuple):
+        q, s = quantize_kv(new_kv)
+        return (_write_cache_chunk(cache[0], q, pos),
+                _write_cache_chunk(cache[1], s, pos))
 
     def one(c, kv, p):
         return jax.lax.dynamic_update_slice(c, kv.astype(c.dtype), (p, 0, 0))
@@ -505,7 +559,11 @@ def _write_cache_chunk(cache, new_kv, pos):
 
 
 def _write_cache(cache, new_kv, pos):
-    """cache (B, Tmax, KV, D); new_kv (B, KV, D); pos (B,)."""
+    """cache entry (B, Tmax, KV, D) or quant tuple; new_kv (B, KV, D);
+    pos (B,)."""
+    if isinstance(cache, tuple):
+        q, s = quantize_kv(new_kv)
+        return (_write_cache(cache[0], q, pos), _write_cache(cache[1], s, pos))
     B = cache.shape[0]
     if B == 1:
         # dynamic-update-slice instead of a scatter: the scatter forces a
@@ -695,12 +753,16 @@ class QwenTextModel(nn.Module):
 
 
 def pad_caches(caches, max_len: int):
-    """Extend prefill caches (B, T, KV, D) to (B, max_len, KV, D)."""
-    out = []
-    for k, v in caches:
-        pad = [(0, 0), (0, max_len - k.shape[1]), (0, 0), (0, 0)]
-        out.append((jnp.pad(k, pad), jnp.pad(v, pad)))
-    return out
+    """Extend prefill caches (B, T, KV, D) to (B, max_len, KV, D).
+    Quantized entries ((data, scale) tuples) pad both leaves."""
+
+    def pad_entry(e):
+        if isinstance(e, tuple):
+            return tuple(pad_entry(x) for x in e)
+        pad = [(0, 0), (0, max_len - e.shape[1]), (0, 0), (0, 0)]
+        return jnp.pad(e, pad)
+
+    return [(pad_entry(k), pad_entry(v)) for k, v in caches]
 
 
 def greedy_generate(
@@ -827,7 +889,7 @@ def greedy_decode_grouped(
     the single-group loop's done-row freezing).
 
     Returns (tokens (B_total, max_new_tokens), lengths, cache_trees)."""
-    group_sizes = [t[0][0].shape[0] for t in cache_trees]
+    group_sizes = [_entry_data(t[0][0]).shape[0] for t in cache_trees]
     B = int(sum(group_sizes))
     assert first_tok.shape == (B,), (first_tok.shape, group_sizes)
     eos = jnp.asarray(eos_token_ids)

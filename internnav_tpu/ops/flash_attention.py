@@ -552,12 +552,21 @@ def gqa_decode_attention(
     cache_len: jnp.ndarray,
     *,
     sm_scale: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Grouped-query decode without materializing the KV head repeat.
 
     q: (B, H, D) with H = KV * G; caches: (B, KV, Tmax, D). HBM traffic on
     the cache (the decode bottleneck at 7B: H/KV = 7x) reads each KV head
     once, with the G query heads of a group batched into one matmul.
+
+    int8 KV: pass int8 caches with k_scale/v_scale (B, KV, Tmax) symmetric
+    per-token-per-head dequant scales. Because the scale is constant along
+    D, k dequant commutes with the q·k dot (logits *= k_scale) and v
+    dequant commutes with the probability sum (p *= v_scale) — the int8
+    cache streams from HBM at one byte/element with no bf16 copy ever
+    materialized.
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -566,9 +575,13 @@ def gqa_decode_attention(
     G = H // KV
     qg = q.reshape(B, KV, G, D).astype(jnp.float32)
     s = jnp.einsum("bkgd,bktd->bkgt", qg, k_cache.astype(jnp.float32)) * sm_scale
+    if k_scale is not None:
+        s = s * k_scale[:, :, None, :]
     mask = jnp.arange(Tmax)[None, :] < cache_len.reshape(-1, 1)
     s = jnp.where(mask[:, None, None, :], s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
+    if v_scale is not None:
+        p = p * v_scale[:, :, None, :]
     out = jnp.einsum("bkgt,bktd->bkgd", p, v_cache.astype(jnp.float32))
     return out.reshape(B, H, D).astype(q.dtype)
 
@@ -580,6 +593,8 @@ def gqa_chunk_decode_attention(
     cache_len: jnp.ndarray,
     *,
     sm_scale: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Decode attention for a CHUNK of n new tokens in one cache pass.
 
@@ -599,10 +614,14 @@ def gqa_chunk_decode_attention(
     qg = q.reshape(B, KV, G, n, D).astype(jnp.float32)
     s = jnp.einsum("bkgnd,bktd->bkgnt", qg,
                    k_cache.astype(jnp.float32)) * sm_scale
+    if k_scale is not None:  # int8 KV (see gqa_decode_attention)
+        s = s * k_scale[:, :, None, None, :]
     limit = cache_len.reshape(-1, 1) + 1 + jnp.arange(n)[None]  # (B, n)
     mask = jnp.arange(Tmax)[None, None, :] < limit[:, :, None]  # (B, n, Tmax)
     s = jnp.where(mask[:, None, None], s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
+    if v_scale is not None:
+        p = p * v_scale[:, :, None, None, :]
     out = jnp.einsum("bkgnt,bktd->bkgnd", p, v_cache.astype(jnp.float32))
     return out.reshape(B, H, n, D).astype(q.dtype)
 
