@@ -88,7 +88,8 @@ REF_SMALL_ACTIONS_PER_SEC = 6.7  # round-1 toy-config estimate (--small)
 
 def _full_n1_config(num_layers: int, weight_dtype: str = "bf16",
                     quant_group_size: int = None,
-                    decode_act_dtype: str = None):
+                    decode_act_dtype: str = None,
+                    kv_dtype: str = "bf16"):
     """True Qwen2.5-VL-7B dims with a reduced decoder depth.
 
     decode_act_dtype="bf16" selects W8A16 decode (no per-token activation
@@ -107,7 +108,8 @@ def _full_n1_config(num_layers: int, weight_dtype: str = "bf16",
     text = QwenTextConfig(num_hidden_layers=num_layers, dtype=jnp.bfloat16,
                           weight_dtype=weight_dtype,
                           quant_group_size=quant_group_size,
-                          decode_act_dtype=decode_act_dtype)
+                          decode_act_dtype=decode_act_dtype,
+                          kv_dtype=kv_dtype)
     vision = QwenVisionConfig(dtype=jnp.bfloat16)  # defaults are the real ViT
     return InternVLAN1Config(text=text, vision=vision, system1="nextdit_async")
 
@@ -324,7 +326,8 @@ def bench_batched(batch: int) -> dict:
 
 def bench_pipelined(batch: int, cohorts: int = 2,
                     shared_decode=None, shared_s1=None,
-                    weight_dtype: str = "int8") -> dict:
+                    weight_dtype: str = "int8",
+                    kv_dtype: str = "bf16") -> dict:
     """Phase-interleaved multi-cohort serving (serving.PipelinedN1Server):
     while one cohort's host work runs (prompt build, uploads, token
     parsing, fetches), the other cohorts' device programs execute — async
@@ -344,7 +347,8 @@ def bench_pipelined(batch: int, cohorts: int = 2,
         PipelinedN1Server,
     )
 
-    cfg = _full_n1_config(FULL_LAYERS, weight_dtype=weight_dtype)
+    cfg = _full_n1_config(FULL_LAYERS, weight_dtype=weight_dtype,
+                          kv_dtype=kv_dtype)
     model = InternVLAN1Model(cfg)
     params = _random_bf16_params(model, cfg, IMAGE_HW)
     instruction = ("walk down the hallway past the kitchen then turn left "
@@ -489,9 +493,10 @@ def bench_pipelined(batch: int, cohorts: int = 2,
             "shared_s1": shared_s1,
             "streams": batch * cohorts,
             "weight_dtype": weight_dtype,
+            "kv_dtype": kv_dtype,
             "dims": f"full 28-layer Qwen2.5-VL-7B resident, W8A8 decode "
                     f"({weight_dtype} projections, dynamic per-token int8 "
-                    "activations), bf16 KV cache; independent episode "
+                    f"activations), {kv_dtype} KV cache; independent episode "
                     "streams in phase-interleaved cohorts (async dispatch, "
                     "single host thread)",
             "best_stream_s": round(t, 4),
@@ -520,7 +525,8 @@ def bench_pipelined(batch: int, cohorts: int = 2,
         "_ctx": {"model": model, "params": params, "inner": inner,
                  "cohorts": cohorts, "shared_decode": shared_decode,
                  "shared_s1": shared_s1, "batch": batch,
-                 "weight_dtype": weight_dtype, "serving_aps": aps},
+                 "weight_dtype": weight_dtype, "kv_dtype": kv_dtype,
+                 "serving_aps": aps},
     }
 
 
@@ -987,6 +993,13 @@ def main() -> None:
                          "for the pipelined mode: int8 = W8A8 (default); "
                          "int4 = W4A8 (grouped-128 scales, lm_head int8) — "
                          "halves the decode weight stream")
+    ap.add_argument("--kv-dtype", type=str, default="bf16",
+                    choices=("bf16", "int8"),
+                    help="decode KV-cache storage dtype for the pipelined "
+                         "mode: int8 (symmetric per-token-per-kv-head "
+                         "scales) halves KV HBM reads during decode — "
+                         "tests/test_kv_quant.py pins the scale-commuting "
+                         "attention math")
     ap.add_argument("--no-evaluator-path", action="store_true",
                     help="skip the evaluator-path bench (VLNPipelinedEvaluator "
                          "through the full product loop with p50/p99 "
@@ -1081,7 +1094,8 @@ def main() -> None:
             s1 = False
         result = bench_pipelined(args.batch, args.cohorts,
                                  shared_decode=shared, shared_s1=s1,
-                                 weight_dtype=args.weight_dtype)
+                                 weight_dtype=args.weight_dtype,
+                                 kv_dtype=args.kv_dtype)
     ctx = result.pop("_ctx", None)
     if ctx is not None and not args.no_evaluator_path:
         try:

@@ -132,7 +132,9 @@ def goal_information(instance_id: str, object_dict: Dict[str, Any]) -> str:
     ]
     if nearby:
         out += "\nnearby objects: " + ",".join(nearby)
-    out += "\nwhole description: " + info.get("caption", "")
+    # no separator before "whole description:" — byte-parity with the
+    # reference's concatenation (simple_npc.py:78)
+    out += "whole description: " + info.get("caption", "")
     return out
 
 

@@ -593,9 +593,9 @@ def get_description(sim, episode, object_dict, region_dict,
     pl = float(cum[-1])
     goal_index = max(i for i, c in enumerate(cum) if c < 4)
     if goal_index == 0:
-        # first segment alone is >= 4 m: keep exactly one segment (the
-        # "first < 4 m" truncation's minimum), not the whole remaining path
-        goal_index = 1
+        # first segment alone is >= 4 m: the reference describes the WHOLE
+        # remaining path (dialog_utils.py:59-60), not a single segment
+        goal_index = len(planar) - 1
     questioned = _dedupe_preserve_order(planar[: goal_index + 1])
     hab = [np.asarray(p, np.float64)[[0, 2, 1]] for p in questioned]
     heading = float(getattr(sim, "heading", getattr(sim, "yaw", 0.0)))

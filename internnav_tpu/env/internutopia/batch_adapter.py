@@ -69,19 +69,31 @@ class VLNPEBatchAdapter:
         self.env.close()
 
     def reset(self, env_ids: Optional[List[int]] = None):
-        """Full reset runs the warm-up protocol (stand_still until the
-        physics settles + first capture, reference :85-92); per-slot
-        re-resets go straight to NORMAL exactly as the reference's
-        terminate_ops does (:219)."""
+        """Full reset runs the warm-up protocol inline (stand_still until
+        the physics settles + first capture, reference :85-92); per-slot
+        re-resets switch the slot to WARM_UP exactly as the reference's
+        terminate_ops does (:235) — step() stand-stills it and flips it to
+        NORMAL once its finish_action arrives (:194-197).
+
+        The real InternUtopia vec env answers a partial reset with
+        reset-envs-only lists positionally aligned to ``env_ids``
+        (reference :234-240 assigns ``reset_infos[reset_env_ids] =
+        new_reset_infos``); FakePhysicsVecEnv returns full-length lists.
+        Both layouts are accepted: full-length (== env_num) is indexed by
+        slot id, anything else positionally by env_ids order."""
         obs, infos = self.env.reset(env_ids)
         ids = list(range(self.env_num)) if env_ids is None else list(env_ids)
         fresh = env_ids is None
-        for i in ids:
-            info = infos[i]
+        slot_indexed = infos is not None and len(infos) == self.env_num
+        for pos, i in enumerate(ids):
+            if slot_indexed:
+                info = infos[i]
+            else:
+                info = infos[pos] if infos and pos < len(infos) else None
             key = info.data.get("path_key") if info is not None else None
             if key:
                 self._path_keys[i] = str(key)
-                self.status[i] = _Status.WARM_UP if fresh else _Status.NORMAL
+                self.status[i] = _Status.WARM_UP
                 self._done[i] = False
             else:
                 self._path_keys[i] = None
@@ -94,7 +106,14 @@ class VLNPEBatchAdapter:
         # (Isaac renders only at macro-step finish). Keep every live
         # slot's last real frame and give the reset slots a fresh
         # side-effect-free capture where the backend can provide one.
-        flat = self._flatten(obs)
+        flat_src = self._flatten(obs) if obs is not None else []
+        if len(flat_src) == self.env_num:
+            flat = flat_src
+        else:  # positional reset-only obs (real backend)
+            flat = [self._last_flat[i] for i in range(self.env_num)]
+            for pos, i in enumerate(ids):
+                if pos < len(flat_src):
+                    flat[i] = flat_src[pos]
         frames = (self.env.render_frames()
                   if hasattr(self.env, "render_frames") else None)
         merged = []
@@ -132,8 +151,8 @@ class VLNPEBatchAdapter:
         then collect any finished episodes into ``episode_results``."""
         assert len(actions) == self.env_num, (len(actions), self.env_num)
         cmds = self._transform(actions)
-        if not (self.status == _Status.NORMAL).any() and \
-                not (self.status == _Status.STOP).any():
+        if not np.isin(self.status, (_Status.NORMAL, _Status.STOP,
+                                     _Status.WARM_UP)).any():
             obs = self.env.get_observation() if hasattr(self.env, "get_observation") \
                 else self.env.get_observations()
             return self._to_obs_list(obs)
@@ -146,6 +165,12 @@ class VLNPEBatchAdapter:
             if (normal.any() and finish[normal].all()) or finish.all():
                 self.status[self.status == _Status.STOP] = _Status.NORMAL
                 break
+        # warm-up completion: freshly reset slots that stood still through
+        # this macro-step and reported finish_action are now settled —
+        # flip to NORMAL (reference terminate_ops :194-197); the evaluator
+        # resets the agent's slot state when it sees warming_up drop.
+        warmed = (self.status == _Status.WARM_UP) & finish
+        self.status[warmed] = _Status.NORMAL
         # terminate_ops result collection (reference :194-211); the caller
         # (cohort scheduler) performs the re-reset via reset(done_ids)
         for i, (ob, term) in enumerate(zip(flat, terminated)):
@@ -213,5 +238,9 @@ class VLNPEBatchAdapter:
                 o["depth"] = np.zeros(self.rgb_hw + (1,), np.float32)
             o["path_key"] = self._path_keys[i]
             o["done"] = bool(self._done[i])
+            # warm-up slots are not ready for the agent: the reference
+            # substitutes fake_obs for them (:130-137) and resets the
+            # agent's slot when warm-up finishes (:194-197)
+            o["warming_up"] = bool(self.status[i] == _Status.WARM_UP)
             out.append(o)
         return out

@@ -89,18 +89,31 @@ class VLNBatchedEvaluator(Evaluator):
         prev_count = 0
         while env.is_running:
             batch_obs, live_idx = [], []
+            warming = {i for i, o in enumerate(obs_list)
+                       if o is not None and o.get("warming_up", False)}
             for i, o in enumerate(obs_list):
-                if o is None or o.get("done", False):
+                if o is None or o.get("done", False) or i in warming:
+                    # warm-up slots see fake obs like the reference
+                    # (vln_distributed_evaluator.py:130-137); the env
+                    # adapter forces their action to stand_still
                     batch_obs.append(self._fake_obs())
                 else:
                     batch_obs.append(o)
                     live_idx.append(i)
-            if not live_idx:
+            if not live_idx and not warming:
                 break
             agent_out = self.agent.step(batch_obs)
             actions = [int(a["action"][0]) for a in agent_out]
             obs_list = env.step(actions)
             latency.mark(len(live_idx))
+            # agent slot state polluted by warm-up fake obs: reset once
+            # warm-up completes (reference terminate_ops :194-197)
+            warmed = [i for i in warming
+                      if obs_list[i] is not None
+                      and not obs_list[i].get("warming_up", False)
+                      and not obs_list[i].get("done", False)]
+            if warmed:
+                self.agent.reset(warmed)
             for i in live_idx:
                 o = obs_list[i]
                 if o is not None:

@@ -82,23 +82,42 @@ class _Cohort:
             return None
         batch, live = [], []
         for i, o in enumerate(self.obs_list):
-            if o is None or o.get("done", False):
+            if o is None or o.get("done", False) or o.get("warming_up", False):
+                # warm-up slots get fake obs exactly like the reference
+                # (vln_distributed_evaluator.py:130-137): the env adapter
+                # discards their action (forced stand_still) and the agent
+                # slot is reset once warm-up completes (see apply()).
                 batch.append(fake_obs())
             else:
                 batch.append(o)
                 live.append(i)
-        return batch if live else None
+        if live or any(o is not None and o.get("warming_up", False)
+                       for o in self.obs_list):
+            return batch
+        return None
 
     def apply(self, agent_out: List[Dict[str, Any]]) -> None:
         """env.step + terminate_ops for one macro-step."""
         live = sum(1 for o in self.obs_list
                    if o is not None and not o.get("done", False))
+        was_warming = {i for i, o in enumerate(self.obs_list)
+                       if o is not None and o.get("warming_up", False)}
         actions = [int(a["action"][0]) for a in agent_out]
         self.obs_list = self.env.step(actions)
         if self.latency is not None:
             self.latency.mark(self.idx, live)
+        # slots whose warm-up just completed: reset the agent slot state
+        # (polluted by fake obs during warm-up) before its first real step
+        # — reference terminate_ops :194-197
+        warmed = [i for i in was_warming
+                  if self.obs_list[i] is not None
+                  and not self.obs_list[i].get("warming_up", False)
+                  and not self.obs_list[i].get("done", False)]
+        if warmed:
+            self.agent.reset(warmed)
         for o in self.obs_list:
-            if o is not None and not o.get("done", False):
+            if o is not None and not o.get("done", False) \
+                    and not o.get("warming_up", False):
                 self.progress.step(o["path_key"])
         new = self.env.episode_results[self._prev_count:]
         if new:

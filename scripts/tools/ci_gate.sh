@@ -1,0 +1,21 @@
+#!/bin/sh
+# Full local CI gate — the same three jobs .github/workflows/ci.yml would
+# run on a GitHub runner, runnable here (no remote exists in this
+# environment, so the workflow file alone gates nothing; see
+# .githooks/pre-commit for the per-commit gate).
+#
+# Usage: sh scripts/tools/ci_gate.sh   (~15 min on one CPU core)
+set -e
+cd "$(git rev-parse --show-toplevel)"
+
+echo "== fast tier =="
+python -m pytest tests/ -q
+
+echo "== multichip dryrun (8 virtual devices) =="
+JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+echo "== distributed-eval dryrun (2 jax.distributed processes) =="
+JAX_PLATFORMS=cpu python scripts/tools/dryrun_distributed_eval.py
+
+echo "CI GATE GREEN"

@@ -188,12 +188,16 @@ def test_decode_step_hidden_close_int8_kv(rng):
     pos = jnp.broadcast_to(jnp.arange(T)[None, None], (3, B, T)).astype(jnp.int32)
     params = model_bf.init(jax.random.PRNGKey(0), embeds, pos)["params"]
 
+    # Draw the decode-step input ONCE, outside the per-model loop: both the
+    # bf16-KV and int8-KV paths must see the *same* input or the comparison
+    # below measures rng divergence, not quantization error (round-4 red tier).
+    step = jnp.asarray(rng.randn(B, 1, cfg.hidden_size).astype(np.float32))
+
     outs = {}
     for name, model in (("bf", model_bf), ("q", model_q)):
         _, _, caches = model.apply({"params": params}, embeds, pos,
                                    return_cache=True)
         caches = pad_caches(caches, T + 4)
-        step = jnp.asarray(rng.randn(B, 1, cfg.hidden_size).astype(np.float32))
         pos1 = jnp.full((3, B, 1), T, jnp.int32)
         _, hidden, _ = model.apply(
             {"params": params}, step, pos1, caches, jnp.full((B,), T),

@@ -105,13 +105,14 @@ def test_get_description_at_goal_is_zero():
     assert pl == 0.0
 
 
-def test_get_description_long_first_segment_keeps_one_segment():
-    """First hop >= 4 m: truncate to exactly one segment, not the whole
-    remaining path (the fallback used to flip to the final index and
-    narrate every later turn)."""
+def test_get_description_long_first_segment_describes_whole_path():
+    """First hop >= 4 m: the reference describes the WHOLE remaining path
+    (dialog_utils.py:59-60 sets goal_index = len(goal_path) - 1), so the
+    later sharp bend IS narrated. (A round-4 fix truncated to one segment;
+    reverted for parity — advisor r4 finding #3.)"""
     from internnav_tpu.habitat.sim_adapter import FakeSim
 
-    # 5 m straight, then a sharp bend the truncation must NOT reach
+    # 5 m straight, then a sharp bend the whole-path description reaches
     ep = _episode([[0, 0, 0.5], [5, 0, 0.5], [5, 5, 0.5]])
     sim = FakeSim(rgb_hw=(16, 16))
     sim.reset(ep)
@@ -119,7 +120,7 @@ def test_get_description_long_first_segment_keeps_one_segment():
                                       choice=lambda s: s[0])
     assert desc is not None
     assert pl > 9.0  # full remaining length still reported
-    assert "left" not in desc and "right" not in desc  # bend truncated away
+    assert "left" in desc or "right" in desc  # bend narrated, not truncated
 
 
 # ------------------------------------------------------- batch adapter
@@ -180,9 +181,13 @@ def test_goal_information_line_structure():
     }
     out = goal_information("sofa_1", object_dict)
     lines = out.splitlines()
-    assert "nearby objects: coffee table" in lines
-    assert "whole description: a red fabric sofa" in lines
-    assert "tablewhole" not in out  # the glued form from the missing \n
+    assert "room: living room" in lines
+    assert "color: red" in lines
+    # byte-parity with the reference (simple_npc.py:78): "whole
+    # description:" is concatenated with NO separator, so it glues onto
+    # the previous line (advisor r4 finding #4 reverted the added \n)
+    assert out.endswith(
+        "nearby objects: coffee tablewhole description: a red fabric sofa")
 
 
 def test_room_names_single_source():
