@@ -761,7 +761,8 @@ def _quality_compare(outs_a: list, outs_b: list) -> dict:
 
 def bench_compare_quant_sequential(num_layers: int = 20, n_prompts: int = 6,
                                    group_size: int = None,
-                                   weight_bits: int = 8) -> dict:
+                                   weight_bits: int = 8,
+                                   kv_dtype: str = "bf16") -> dict:
     """Non-co-resident quant-quality comparison (VERDICT r3 #7): instead
     of fitting both trees in HBM at once (depth-capped at 12), run the
     bf16 pass at full requested depth, FREE it, deterministically
@@ -794,7 +795,11 @@ def bench_compare_quant_sequential(num_layers: int = 20, n_prompts: int = 6,
     model_bf2 = InternVLAN1Model(cfg_bf2)
     params_src = _random_bf16_params(model_bf2, cfg_bf2, IMAGE_HW)
     wdt = "int4" if weight_bits == 4 else "int8"
-    cfg_q = _full_n1_config(num_layers, wdt, quant_group_size=group_size)
+    # kv_dtype="int8" stacks the quantized KV cache on the quant side so
+    # the DEPLOYED config's full quality story — weights AND cache — is
+    # measured in one comparison, not composed from separate runs
+    cfg_q = _full_n1_config(num_layers, wdt, quant_group_size=group_size,
+                            kv_dtype=kv_dtype)
     params_q = dict(params_src)  # vision/S1 subtrees shared
     params_q["language_model"] = quantize_qwen_text_params_device(
         params_src["language_model"], group_size=group_size,
@@ -805,8 +810,9 @@ def bench_compare_quant_sequential(num_layers: int = 20, n_prompts: int = 6,
     outs_q = _quality_prompts(pol_q, cfg_q, n_prompts)
 
     stats = _quality_compare(outs_bf, outs_q)
+    qname = wdt + ("_kv8" if kv_dtype == "int8" else "")
     return {
-        "metric": f"{wdt}_vs_bf16_serving_quality_7b_width_sequential",
+        "metric": f"{qname}_vs_bf16_serving_quality_7b_width_sequential",
         "value": stats["token_agreement"],
         "unit": "greedy_token_agreement",
         "vs_baseline": 1.0,
@@ -814,6 +820,7 @@ def bench_compare_quant_sequential(num_layers: int = 20, n_prompts: int = 6,
             "num_layers": num_layers,
             "group_size": group_size,
             "weight_dtype": wdt,
+            "kv_dtype": kv_dtype,
             "n_prompts": n_prompts,
             "decode_tokens": DECODE_TOKENS,
             **stats,
@@ -830,7 +837,8 @@ def bench_compare_quant_sequential(num_layers: int = 20, n_prompts: int = 6,
 
 def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
                         group_size: int = None,
-                        weight_bits: int = 8) -> dict:
+                        weight_bits: int = 8,
+                        kv_dtype: str = "bf16") -> dict:
     """int8-vs-bf16 serving quality at true 7B width (VERDICT r2 #3).
     See also bench_compare_quant_sequential for the non-co-resident
     full-depth variant.
@@ -864,7 +872,11 @@ def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
     pol_bf = InternVLAN1Policy(model_bf, params_bf, cfg_bf)
 
     wdt = "int4" if weight_bits == 4 else "int8"
-    cfg_q = _full_n1_config(num_layers, wdt, quant_group_size=group_size)
+    # kv_dtype="int8" stacks the quantized KV cache on the quant side so
+    # the DEPLOYED config's full quality story — weights AND cache — is
+    # measured in one comparison, not composed from separate runs
+    cfg_q = _full_n1_config(num_layers, wdt, quant_group_size=group_size,
+                            kv_dtype=kv_dtype)
     params_q = dict(params_bf)  # vision/S1 subtrees shared (same arrays)
     params_q["language_model"] = quantize_qwen_text_params_device(
         params_bf["language_model"], group_size=group_size,
@@ -883,6 +895,7 @@ def bench_compare_quant(num_layers: int = 12, n_prompts: int = 6,
             "num_layers": num_layers,
             "group_size": group_size,
             "weight_dtype": wdt,
+            "kv_dtype": kv_dtype,
             "n_prompts": n_prompts,
             "decode_tokens": DECODE_TOKENS,
             **stats,
@@ -939,6 +952,168 @@ def bench_small() -> dict:
         "unit": "actions/s",
         "vs_baseline": round(aps / REF_SMALL_ACTIONS_PER_SEC, 3),
     }
+
+
+def bench_train(max_len: int = 8192, layers: int = 2, reps: int = 3,
+                image_hw: int = 224, ce_chunk: int = 1024) -> dict:
+    """Single-chip N1 train-step throughput (VERDICT r4 #7): one packed
+    `max_len`-token dual-system step through the REAL product path
+    (TrajStore dataset -> tokenize -> packing collator -> prepare_batch
+    host vision encode -> jitted train step with adamw + freeze masks).
+
+    Full Qwen2.5-VL-7B WIDTH (hidden 3584, MLP 18944, vocab 152064) at a
+    reduced decoder DEPTH: a 16 GB v5e holds params+grads+adam for ~2
+    full-width layers plus both 545M-param embedding tables; the reference
+    trains the full depth on 64 A100-80GBs with ZeRO-2
+    (train_dual_system.sh:63,80 — seq 8192, zero2.json). Depth-reduced
+    width-true measurement is the same extrapolation basis the inference
+    bench uses: decoder layers are identical, so per-layer step time
+    scales affinely in depth.
+
+    Memory levers measured here are the production flags: decoder-layer
+    remat (QwenTextConfig.remat) and chunked full-vocab CE (il.ce_chunk)
+    — without them the fp32 logits buffer alone (B=1, 8192, 152064 = 5 GB)
+    plus stored activations exceed HBM.
+
+    MFU accounting (reported, not hidden): trainable matmul params get
+    6 FLOPs/param/token (2 fwd + 4 bwd) + 2 more for the remat re-forward;
+    the chunked lm_head pays fwd twice (checkpoint recompute) + bwd = 8;
+    the frozen ViT encode is host-pipelined OUTSIDE the jitted step and
+    timed separately. Peak = 197 TFLOP/s bf16 (v5e)."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from internnav_tpu.configs.trainer import ExpCfg, MeshCfg
+    from internnav_tpu.dataset.internvla_n1_dataset import (
+        N1SampleDataset,
+        n1_packed_collate_fn,
+        tokenize_sample,
+        write_synthetic_n1_dataset,
+    )
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Config,
+        InternVLAN1Model,
+    )
+    from internnav_tpu.model.basemodel.internvla_n1.policy import (
+        InternVLAN1Policy,
+        SimpleTokenizer,
+    )
+    from internnav_tpu.trainer.internvla_n1_trainer import InternVLAN1Trainer
+
+    cfg = InternVLAN1Config.qwen25vl_7b("nextdit_async", remat=True,
+                                        num_hidden_layers=layers)
+    model = InternVLAN1Model(cfg)
+    params = _random_bf16_params(model, cfg, image_hw)
+    pol = InternVLAN1Policy(model, params, cfg)
+    pol.tokenizer = SimpleTokenizer(cfg.text.vocab_size)
+    tpi = pol._tokens_per_image((image_hw, image_hw))
+
+    tmp = tempfile.mkdtemp(prefix="bench_train_")
+    try:
+        store = write_synthetic_n1_dataset(f"{tmp}/store.bin",
+                                           n_episodes=24, T=10, hw=image_hw)
+        ds = N1SampleDataset(store, predict_step_nums=cfg.predict_step_nums,
+                             num_history=2)
+        rows, total = [], 0
+        for s in ds:
+            r = tokenize_sample(s, pol.tokenizer, tokens_per_image=tpi,
+                                n_query=cfg.n_query)
+            rows.append(r)
+            total += len(r["input_ids"])
+            if total >= max_len + 2048:  # enough to fill the packed row
+                break
+        batch = n1_packed_collate_fn(rows, max_len=max_len,
+                                     predict_step_nums=cfg.predict_step_nums)
+
+        exp = ExpCfg(name="bench_train", model_name="internvla_n1",
+                     output_dir=f"{tmp}/out",
+                     mesh=MeshCfg(axes={"dp": -1},
+                                  param_sharding="replicated"))
+        exp.il.ce_chunk = ce_chunk
+        exp.il.remat = True
+        trainer = InternVLAN1Trainer(exp, pol, total_steps=reps + 1,
+                                     tune_llm=True, tune_mm_vision=False)
+
+        # host-side vision encode (frozen tower, pipelined outside the jit
+        # step in production) — timed separately
+        t0 = time.perf_counter()
+        prepared = trainer.prepare_batch(batch)
+        jax.block_until_ready(jax.tree_util.tree_leaves(
+            jnp.asarray(prepared["image_embeds"])))
+        vision_s = time.perf_counter() - t0
+
+        step_fn = trainer.build_train_step()
+        rng = jax.random.PRNGKey(0)
+        sharded = trainer.shard_batch(prepared) if hasattr(
+            trainer, "shard_batch") else prepared
+
+        t0 = time.perf_counter()
+        trainer.params, trainer.opt_state, m = step_fn(
+            trainer.params, trainer.opt_state, sharded, rng)
+        jax.block_until_ready(m["loss"])
+        compile_s = time.perf_counter() - t0
+
+        times = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            trainer.params, trainer.opt_state, m = step_fn(
+                trainer.params, trainer.opt_state, sharded,
+                jax.random.fold_in(rng, i + 1))
+            jax.block_until_ready(m["loss"])
+            times.append(time.perf_counter() - t0)
+        step_s = float(np.median(times))
+        tokens_per_s = max_len / step_s
+
+        # ---- MFU accounting (per token; B = 1 packed row) ----
+        c = cfg.text
+        d, f, v = c.hidden_size, c.intermediate_size, c.vocab_size
+        kvd = c.num_key_value_heads * c.head_dim
+        per_layer = (2 * d * d  # q + o proj (d->d each): 2*d*d
+                     + 2 * d * kvd  # k + v proj
+                     + 3 * d * f)  # gate/up/down
+        # FLOPs/token = FLOP-factor * params: decoder layers trained with
+        # remat cost 8 per param (2 fwd + 4 bwd + 2 recompute-fwd); the
+        # chunked lm_head likewise 8 (fwd + checkpoint recompute + 2-matmul
+        # bwd). Embedding gather/scatter-add are not matmul FLOPs.
+        flops_per_token = 8 * layers * per_layer + 8 * d * v
+        total_flops = flops_per_token * max_len
+        mfu = total_flops / step_s / 197e12
+
+        return {
+            "metric": "internvla_n1_train_tokens_per_sec_per_chip_packed8192",
+            "value": round(tokens_per_s, 1),
+            "unit": "tokens/s",
+            "vs_baseline": 1.0,
+            "detail": {
+                "max_len": max_len,
+                "decoder_layers": layers,
+                "width": "true 7B (hidden 3584, mlp 18944, vocab 152064)",
+                "remat": True,
+                "ce_chunk": ce_chunk,
+                "step_time_s_median": round(step_s, 4),
+                "step_times_s": [round(t, 4) for t in times],
+                "compile_s": round(compile_s, 1),
+                "host_vision_encode_s": round(vision_s, 3),
+                "lm_loss": float(m["lm_loss"]),
+                "s1_loss": float(m["s1_loss"]),
+                "mfu": round(mfu, 4),
+                "mfu_accounting": "8 FLOPs/param/token decoder (fwd 2 + "
+                                  "bwd 4 + remat re-fwd 2) + 8 lm_head "
+                                  "(chunked recompute), peak 197 TFLOP/s "
+                                  "bf16 v5e; embeds/ViT excluded (gather / "
+                                  "frozen host-pipelined)",
+                "note": "full 7B width at reduced depth on ONE 16 GB chip; "
+                        "the reference trains seq-8192 on 64 A100-80GB "
+                        "with ZeRO-2 (train_dual_system.sh). vs_baseline "
+                        "1.0: the reference publishes no training "
+                        "throughput to compare against.",
+            },
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -1000,6 +1175,16 @@ def main() -> None:
                          "scales) halves KV HBM reads during decode — "
                          "tests/test_kv_quant.py pins the scale-commuting "
                          "attention math")
+    ap.add_argument("--train", action="store_true",
+                    help="training-side bench: one packed max-len N1 train "
+                         "step (full 7B width, reduced depth, remat + "
+                         "chunked CE) — step time, tokens/s, MFU")
+    ap.add_argument("--train-layers", type=int, default=2,
+                    help="--train decoder depth (full-width layers fitting "
+                         "16 GB with adam states: ~2)")
+    ap.add_argument("--train-max-len", type=int, default=8192,
+                    help="--train packed sequence length (reference trains "
+                         "seq 8192, train_dual_system.sh)")
     ap.add_argument("--no-evaluator-path", action="store_true",
                     help="skip the evaluator-path bench (VLNPipelinedEvaluator "
                          "through the full product loop with p50/p99 "
@@ -1066,15 +1251,20 @@ def main() -> None:
 
     if args.small:
         result = bench_small()
+    elif args.train:
+        result = bench_train(max_len=args.train_max_len,
+                             layers=args.train_layers)
     elif args.compare_quant_sequential:
         result = bench_compare_quant_sequential(
             args.quant_layers,  # pass explicitly; 20 fits bf16-alone on v5e
             group_size=args.quant_group or None,
-            weight_bits=args.quant_bits)
+            weight_bits=args.quant_bits,
+            kv_dtype=args.kv_dtype)
     elif args.compare_quant:
         result = bench_compare_quant(args.quant_layers,
                                      group_size=args.quant_group or None,
-                                     weight_bits=args.quant_bits)
+                                     weight_bits=args.quant_bits,
+                                     kv_dtype=args.kv_dtype)
     elif args.int8:
         result = bench_int8()
     elif args.bf16:
@@ -1098,8 +1288,32 @@ def main() -> None:
                                  kv_dtype=args.kv_dtype)
     ctx = result.pop("_ctx", None)
     if ctx is not None and not args.no_evaluator_path:
+        # THE headline (BENCH_METHOD.md): actions/s through the FULL
+        # product loop (VLNPipelinedEvaluator driving the serving
+        # topology), as the MEDIAN of N runs — the shared tunnel chip has
+        # ~±8% run-to-run noise, so a single sample is not a headline.
+        # The serving-loop number (stream starts included, evaluator
+        # excluded) moves to detail.serving_loop.
         try:
-            result["detail"]["evaluator_path"] = bench_evaluator_path(ctx)
+            runs = [bench_evaluator_path(ctx) for _ in range(3)]
+            vals = sorted(r["actions_per_sec"] for r in runs)
+            med = vals[len(vals) // 2]
+            result["detail"]["serving_loop"] = {
+                "actions_per_sec": result["value"],
+                "vs_baseline": result["vs_baseline"],
+            }
+            result["metric"] = ("internvla_n1_dual_system_actions_per_sec"
+                                "_per_chip_7b_evaluator_median3")
+            result["value"] = round(med, 2)
+            result["vs_baseline"] = round(med / REF_ACTIONS_PER_SEC, 3)
+            result["detail"]["evaluator_path"] = runs[
+                [r["actions_per_sec"] for r in runs].index(med)]
+            result["detail"]["evaluator_path_samples"] = [
+                round(v, 2) for v in vals]
+            result["detail"]["evaluator_path_spread"] = {
+                "min": round(vals[0], 2), "max": round(vals[-1], 2),
+                "rel_spread": round((vals[-1] - vals[0]) / med, 3),
+            }
         except Exception as e:  # the headline must still print
             result["detail"]["evaluator_path"] = {
                 "error": f"{type(e).__name__}: {e}"[:300]}

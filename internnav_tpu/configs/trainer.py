@@ -65,6 +65,16 @@ class IlCfg(_Cfg):
     log_interval_steps: int = 10
     report_to: str = "none"  # none | tensorboard
     seed: int = 0
+    #: rematerialize decoder layers during backward (jax.checkpoint on
+    #: block boundaries) — activations recomputed instead of stored, the
+    #: trade that fits packed-8192 steps on one 16 GB chip. Wired into the
+    #: model config by the train entry scripts (train_n1.py).
+    remat: bool = False
+    #: chunked full-vocab cross-entropy: >0 runs the lm_head + softmax-CE
+    #: per `ce_chunk`-token sequence chunk under jax.checkpoint so the
+    #: (B, T, vocab) fp32 logits (5 GB at packed-8192 x 152k vocab) are
+    #: never materialized; 0 = classic full-logits path.
+    ce_chunk: int = 0
 
 
 class TrainEvalCfg(_Cfg):

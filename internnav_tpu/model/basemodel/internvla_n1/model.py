@@ -75,17 +75,25 @@ class InternVLAN1Config:
     @classmethod
     def qwen25vl_7b(cls, system1: str = "nextdit_async",
                     weight_dtype: str = "bf16",
-                    kv_dtype: str = "bf16") -> "InternVLAN1Config":
+                    kv_dtype: str = "bf16",
+                    remat: bool = False,
+                    num_hidden_layers: int = None) -> "InternVLAN1Config":
         """The flagship deployment config: true Qwen2.5-VL-7B dims (the
         QwenTextConfig/QwenVisionConfig defaults), bf16 activations;
         weight_dtype='int8' selects the W8A8-resident serving format;
         kv_dtype='int8' stores the decode KV cache quantized (halves its
-        HBM footprint and read traffic — see QwenTextConfig.kv_dtype)."""
+        HBM footprint and read traffic — see QwenTextConfig.kv_dtype);
+        remat=True rematerializes decoder layers in backward (training);
+        num_hidden_layers overrides the 28-layer depth (single-chip
+        training benchmarks)."""
         import jax.numpy as jnp
 
+        kw = {} if num_hidden_layers is None else {
+            "num_hidden_layers": num_hidden_layers}
         return cls(text=QwenTextConfig(dtype=jnp.bfloat16,
                                        weight_dtype=weight_dtype,
-                                       kv_dtype=kv_dtype),
+                                       kv_dtype=kv_dtype,
+                                       remat=remat, **kw),
                    vision=QwenVisionConfig(dtype=jnp.bfloat16),
                    system1=system1)
 
@@ -242,9 +250,11 @@ class InternVLAN1Model(nn.Module):
         return self.latent_queries
 
     def prefill(self, inputs_embeds, position_ids, segment_ids=None,
-                return_cache=False):
+                return_cache=False, compute_logits: bool = True):
         return self.language_model(inputs_embeds, position_ids,
-                                   segment_ids=segment_ids, return_cache=return_cache)
+                                   segment_ids=segment_ids,
+                                   return_cache=return_cache,
+                                   compute_logits=compute_logits)
 
     # ------------------------------------------------------------ system-1
     def _project_latents(self, traj_latents):

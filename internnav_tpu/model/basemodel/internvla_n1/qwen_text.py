@@ -79,6 +79,15 @@ class QwenTextConfig:
     #: cache is never dequantized into a bf16 copy (flash_attention.py
     #: gqa_decode_attention k_scale/v_scale).
     kv_dtype: str = "bf16"
+    #: Rematerialize decoder layers during backward (jax.checkpoint on
+    #: block boundaries): activations are recomputed instead of stored, so
+    #: train-step peak memory is one layer's activations rather than all
+    #: layers' — the standard trade of ~33% more FLOPs for O(L) less HBM
+    #: that makes packed-8192 training fit 16 GB. Forward-only paths
+    #: (serving, decode) are unaffected: checkpoint is an identity without
+    #: a grad. Wired from the trainer config (ILCfg.remat) by the train
+    #: entry scripts.
+    remat: bool = False
 
     @classmethod
     def tiny(cls) -> "QwenTextConfig":
@@ -618,7 +627,10 @@ class QwenTextModel(nn.Module):
         c = self.cfg
         self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size,
                                      dtype=c.dtype, name="embed_tokens")
-        self.layers = [QwenDecoderLayer(c, name=f"layers_{i}")
+        # nn.remat preserves the module name/scope, so the param tree is
+        # identical with or without remat — checkpoints interchange freely
+        layer_cls = nn.remat(QwenDecoderLayer) if c.remat else QwenDecoderLayer
+        self.layers = [layer_cls(c, name=f"layers_{i}")
                        for i in range(c.num_hidden_layers)]
         self.norm = RMSNorm(c.rms_norm_eps, name="norm")
         if not c.tie_word_embeddings:
@@ -642,7 +654,7 @@ class QwenTextModel(nn.Module):
 
     def __call__(self, inputs_embeds, position_ids, *, segment_ids=None,
                  return_cache=False, output_hidden_states=False,
-                 logits_indices=None):
+                 logits_indices=None, compute_logits: bool = True):
         """Prefill. inputs_embeds (B, T, D); position_ids (3, B, T) or (B, T).
         Returns (logits, hidden, caches) — caches are per-layer (k, v) with
         layout (B, T, KV, D).
@@ -650,7 +662,11 @@ class QwenTextModel(nn.Module):
         logits_indices (B,): compute logits only at those positions (shape
         (B, 1, vocab)) — greedy decode needs just the last real position, and
         at 7B dims the full-sequence lm_head is ~0.8 TFLOP + a 0.4 GB fp32
-        buffer per 700-token prompt."""
+        buffer per 700-token prompt.
+
+        compute_logits=False returns logits=None — training with chunked_ce
+        never materializes the (B, T, vocab) fp32 buffer (5 GB at a packed
+        8192-token row)."""
         cos, sin = self._cos_sin(position_ids)
         x = inputs_embeds
         caches = []
@@ -658,6 +674,8 @@ class QwenTextModel(nn.Module):
             x, cache = layer(x, cos, sin, segment_ids=segment_ids)
             caches.append(cache)
         hidden = self.norm(x)
+        if not compute_logits:
+            return None, hidden, (caches if return_cache else None)
         if logits_indices is not None:
             sel = jnp.take_along_axis(hidden, logits_indices[:, None, None], axis=1)
             # lm_head on the 2-d (B, D) slice: the (B, 1, D) 3-d form
@@ -667,6 +685,47 @@ class QwenTextModel(nn.Module):
         else:
             logits = self._logits(hidden)
         return logits, hidden, (caches if return_cache else None)
+
+    def chunked_ce(self, hidden, labels, *, ignore_index: int,
+                   chunk: int = 1024):
+        """Mean next-token cross-entropy over the full vocab WITHOUT
+        materializing the (B, T, vocab) fp32 logits (5.0 GB at B=1 T=8192
+        V=152k): the lm_head matmul and the softmax-CE run per sequence
+        chunk inside a jax.checkpoint'd lax.scan body, so the live buffer
+        is ONE chunk's logits and backward recomputes them. ~2x lm_head
+        FLOPs traded for O(T/chunk) less HBM — what fits a packed-8192
+        full-vocab train step on a 16 GB chip. Identical math to
+        optax.softmax_cross_entropy_with_integer_labels on shifted
+        logits/labels (pinned in tests/test_n1_trainer.py)."""
+        B, T, D = hidden.shape
+        h = hidden[:, :-1]
+        lbl = labels[:, 1:]
+        Tm = T - 1
+        pad = (-Tm) % chunk
+        if pad:
+            h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+            lbl = jnp.pad(lbl, ((0, 0), (0, pad)),
+                          constant_values=ignore_index)
+        n = (Tm + pad) // chunk
+        h = h.reshape(B, n, chunk, D).transpose(1, 0, 2, 3)
+        lbl = lbl.reshape(B, n, chunk).transpose(1, 0, 2)
+
+        def body(carry, hc_lc):
+            hc, lc = hc_lc
+            logits = self._logits(hc)  # fp32 (B, chunk, vocab)
+            valid = lc != ignore_index
+            safe = jnp.where(valid, lc, 0)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            gold = jnp.take_along_axis(
+                logits, safe[..., None].astype(jnp.int32), axis=-1)[..., 0]
+            ce = lse - gold
+            tot, cnt = carry
+            return (tot + (ce * valid).sum(),
+                    cnt + valid.sum().astype(jnp.float32)), None
+
+        init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+        (tot, cnt), _ = jax.lax.scan(jax.checkpoint(body), init, (h, lbl))
+        return tot / jnp.maximum(cnt, 1.0)
 
     def _logits(self, hidden, *, decode: bool = False):
         if self.cfg.tie_word_embeddings:

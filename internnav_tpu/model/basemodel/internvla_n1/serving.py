@@ -576,8 +576,10 @@ class BatchedN1Policy:
         inner = self.inner
         cfg = self.cfg
         if "navdp" in cfg.system1:
-            return self._s1_submit_navdp(rgb, depth, latents,
-                                         num_sample_trajs)
+            spec = self._s1_navdp_prepare(rgb, depth, latents,
+                                          num_sample_trajs)
+            self._s1_dispatch(spec)
+            return spec["handle"]
         if "nextdit" not in cfg.system1:
             raise NotImplementedError(
                 f"batched serving supports the nextdit and navdp System-1 "
@@ -606,15 +608,21 @@ class BatchedN1Policy:
 
     def s1_prepare(self, rgb: np.ndarray, latents,
                    num_sample_trajs: int = 32,
-                   slot_ids: Optional[List[int]] = None) -> Dict[str, Any]:
+                   slot_ids: Optional[List[int]] = None,
+                   depth: Optional[np.ndarray] = None) -> Dict[str, Any]:
         """Host prep + uploads for one cohort's System-1 WITHOUT dispatching
         the denoise. The returned spec either goes to `_s1_dispatch`
         (per-cohort program; what `s1_submit` does) or is grouped with other
         cohorts' specs into ONE device program via `s1_grouped_dispatch` —
         row-identical to per-cohort dispatch because each cohort block keeps
-        its own rng draw and conditioning rows are batch-major."""
+        its own rng draw (x_init AND per-step ancestral noises) and
+        conditioning rows are batch-major. navdp cohorts route to the navdp
+        spec builder so S2+NavDP rows are servable under shared_s1 too."""
         inner = self.inner
         cfg = self.cfg
+        if "navdp" in cfg.system1:
+            return self._s1_navdp_prepare(rgb, depth, latents,
+                                          num_sample_trajs)
         self._rng, sub = jax.random.split(self._rng)
         B = rgb.shape[0]
         if slot_ids is None:
@@ -659,6 +667,30 @@ class BatchedN1Policy:
         nst = spec["nst"]
         Bp = spec["Bp"]
         handle = spec["handle"]
+        if spec["mode"] == "navdp":
+            key = f"s1Bnavdp_{(Bp,) + spec['hw']}_{nst}"
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = jax.jit(
+                    lambda p, lat, im, de, r: inner.model.apply(
+                        {"params": p},
+                        method=lambda mdl: mdl.generate_traj_navdp_batched(
+                            lat, im.astype(jnp.float32) / 255.0, de,
+                            rng=r, sample_num=nst)))
+            handle["dp"] = inner._jit_cache[key](
+                inner.params, spec["latents"], spec["rgb"], spec["depth"],
+                spec["rng"])
+            return
+        if spec["mode"] == "navdp_noimg":
+            key = f"s1Bnavdp_noimg_{Bp}_{nst}"
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = jax.jit(
+                    lambda p, lat, r: inner.model.apply(
+                        {"params": p},
+                        method=lambda mdl: mdl.generate_traj_navdp_batched(
+                            lat, rng=r, sample_num=nst)))
+            handle["dp"] = inner._jit_cache[key](
+                inner.params, spec["latents"], spec["rng"])
+            return
         if spec["mode"] == "noimg":
             key = f"s1Bnoimg_{Bp}_{nst}"
             if key not in inner._jit_cache:
@@ -688,54 +720,91 @@ class BatchedN1Policy:
             inner.params, spec["latents"], spec["mem"], spec["cur"],
             spec["rng"])
 
-    def _s1_submit_navdp(self, rgb, depth, latents,
-                         num_sample_trajs: int) -> Dict[str, Any]:
-        """Batched NavDP System-1 dispatch. The async head consumes
-        memory_size=2 [memory, current] RGBD pairs (navdp.py:197-253), so
-        inputs use the explicit-pairs form; pixels cross the link as uint8
-        and are /255-normalized on device, exactly like the single-stream
-        path (policy.py s1_step_latent navdp branch)."""
-        inner = self.inner
+    def _s1_navdp_prepare(self, rgb, depth, latents,
+                          num_sample_trajs: int) -> Dict[str, Any]:
+        """Host prep + uploads for one cohort's batched NavDP System-1
+        WITHOUT dispatching. The async head consumes memory_size=2
+        [memory, current] RGBD pairs (navdp.py:197-253), so inputs use the
+        explicit-pairs form; pixels cross the link as uint8 and are
+        /255-normalized on device, exactly like the single-stream path
+        (policy.py s1_step_latent navdp branch). The spec goes to
+        `_s1_dispatch` (per-cohort) or `s1_grouped_dispatch` (shared_s1)."""
         cfg = self.cfg
         self._rng, sub = jax.random.split(self._rng)
         B = latents.shape[0]
         Bp = self._pow2_bucket(B)
-        latents_p = self._pad_rows(jnp.asarray(latents), Bp)
-        handle = {"B": B, "Bp": Bp, "nst": num_sample_trajs}
+        spec: Dict[str, Any] = {
+            "handle": {"B": B, "Bp": Bp, "nst": num_sample_trajs},
+            "rng": sub, "latents": self._pad_rows(jnp.asarray(latents), Bp),
+            "Bp": Bp, "nst": num_sample_trajs, "policy": self,
+        }
+        if "async" not in cfg.system1:
+            spec["mode"] = "navdp_noimg"
+            return spec
+        assert rgb is not None and depth is not None and rgb.ndim == 5, (
+            "navdp_async batched S1 needs rgb (B,2,H,W,3) + depth "
+            f"(B,2,H,W,1) pairs, got rgb "
+            f"{None if rgb is None else rgb.shape}")
+        rgb_u8 = np.asarray(rgb, np.uint8)
+        depth_f = np.asarray(depth, np.float32)
+        if Bp != B:
+            rgb_u8 = np.concatenate(
+                [rgb_u8, np.repeat(rgb_u8[:1], Bp - B, axis=0)], axis=0)
+            depth_f = np.concatenate(
+                [depth_f, np.repeat(depth_f[:1], Bp - B, axis=0)], axis=0)
+        spec["mode"] = "navdp"
+        spec["rgb"] = jnp.asarray(rgb_u8)
+        spec["depth"] = jnp.asarray(depth_f)
+        spec["hw"] = tuple(rgb_u8.shape[1:])
+        return spec
+
+    def _s1_grouped_navdp_fn(self, num_sample_trajs: int,
+                             sizes: Tuple[int, ...], mode: str):
+        """One NavDP denoise program over several cohorts' stacked rows.
+        Unlike the nextdit flow-matching head (deterministic Euler given
+        x_init), the NavDP DDPM loop also injects per-step ancestral noise,
+        so bit-equality with per-cohort dispatch needs BOTH draws made per
+        cohort block from that cohort's own key: x_init from rngs[g] and
+        step noises from fold_in(rngs[g], 1) — exactly what
+        generate_traj_navdp_batched does internally for a single cohort."""
+        inner = self.inner
         nst = num_sample_trajs
-        if "async" in cfg.system1:
-            assert rgb is not None and depth is not None and rgb.ndim == 5, (
-                "navdp_async batched S1 needs rgb (B,2,H,W,3) + depth "
-                f"(B,2,H,W,1) pairs, got rgb "
-                f"{None if rgb is None else rgb.shape}")
-            rgb_u8 = np.asarray(rgb, np.uint8)
-            depth_f = np.asarray(depth, np.float32)
-            if Bp != B:
-                rgb_u8 = np.concatenate(
-                    [rgb_u8, np.repeat(rgb_u8[:1], Bp - B, axis=0)], axis=0)
-                depth_f = np.concatenate(
-                    [depth_f, np.repeat(depth_f[:1], Bp - B, axis=0)], axis=0)
-            key = f"s1Bnavdp_{rgb_u8.shape}_{nst}"
-            if key not in inner._jit_cache:
-                inner._jit_cache[key] = jax.jit(
-                    lambda p, lat, im, de, r: inner.model.apply(
-                        {"params": p},
-                        method=lambda mdl: mdl.generate_traj_navdp_batched(
-                            lat, im.astype(jnp.float32) / 255.0, de,
-                            rng=r, sample_num=nst)))
-            handle["dp"] = inner._jit_cache[key](
-                inner.params, latents_p, jnp.asarray(rgb_u8),
-                jnp.asarray(depth_f), sub)
-            return handle
-        key = f"s1Bnavdp_noimg_{Bp}_{nst}"
-        if key not in inner._jit_cache:
-            inner._jit_cache[key] = jax.jit(
-                lambda p, lat, r: inner.model.apply(
-                    {"params": p},
-                    method=lambda mdl: mdl.generate_traj_navdp_batched(
-                        lat, rng=r, sample_num=nst)))
-        handle["dp"] = inner._jit_cache[key](inner.params, latents_p, sub)
-        return handle
+
+        def draws(mdl, rngs):
+            P = mdl.navdp.predict_size
+            T = len(mdl.navdp.scheduler.timesteps())
+            x_init = jnp.concatenate([
+                jax.random.normal(rngs[g], (sz * nst, P, 3))
+                for g, sz in enumerate(sizes)])
+            step_noises = jnp.concatenate([
+                jax.random.normal(jax.random.fold_in(rngs[g], 1),
+                                  (T, sz * nst, P, 3))
+                for g, sz in enumerate(sizes)], axis=1)
+            return x_init, step_noises
+
+        if mode == "navdp_noimg":
+            def fn(p, lat, rngs):
+                def run(mdl):
+                    x_init, zs = draws(mdl, rngs)
+                    return mdl.generate_traj_navdp_batched(
+                        lat, rng=rngs[0], sample_num=nst,
+                        x_init=x_init, step_noises=zs)
+
+                return inner.model.apply({"params": p}, method=run)
+
+            return jax.jit(fn)
+
+        def fn(p, lat, im, de, rngs):
+            def run(mdl):
+                x_init, zs = draws(mdl, rngs)
+                return mdl.generate_traj_navdp_batched(
+                    lat, im.astype(jnp.float32) / 255.0, de,
+                    rng=rngs[0], sample_num=nst,
+                    x_init=x_init, step_noises=zs)
+
+            return inner.model.apply({"params": p}, method=run)
+
+        return jax.jit(fn)
 
     def s1_collect(self, handle: Dict[str, Any]) -> List[S1Output]:
         """Fetch + discretize the results of an `s1_submit`."""
@@ -788,12 +857,24 @@ def s1_grouped_dispatch(specs: List[Dict[str, Any]]) -> None:
         rngs = jnp.stack([s["rng"] for s in items])
         lat = jnp.concatenate([s["latents"] for s in items])
         key = f"s1G_{mode}_{sizes}_{hw}_{nst}"
-        if key not in inner._jit_cache:
-            inner._jit_cache[key] = pol._s1_grouped_fn(nst, sizes, mode)
         mem_feats = None
-        if mode == "noimg":
+        if mode.startswith("navdp"):
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = pol._s1_grouped_navdp_fn(
+                    nst, sizes, mode)
+            if mode == "navdp":
+                im = jnp.concatenate([s["rgb"] for s in items])
+                de = jnp.concatenate([s["depth"] for s in items])
+                dp = inner._jit_cache[key](inner.params, lat, im, de, rngs)
+            else:
+                dp = inner._jit_cache[key](inner.params, lat, rngs)
+        elif mode == "noimg":
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = pol._s1_grouped_fn(nst, sizes, mode)
             dp = inner._jit_cache[key](inner.params, lat, rngs)
         else:
+            if key not in inner._jit_cache:
+                inner._jit_cache[key] = pol._s1_grouped_fn(nst, sizes, mode)
             mem = jnp.concatenate([s["mem"] for s in items])
             cur = jnp.concatenate([s["cur"] for s in items])
             out = inner._jit_cache[key](inner.params, lat, mem, cur, rngs)
@@ -1075,12 +1156,9 @@ class PipelinedN1Server:
             """Per-cohort S1 dispatch, or prepare-only under shared_s1."""
             rgb_f, depth_f = _split_frames(frames_fn(ci, t, call))
             if shared_s1:
-                if depth_f is not None:
-                    raise ValueError("shared_s1 grouping supports the "
-                                     "nextdit System-1 only; navdp cohorts "
-                                     "use per-cohort dispatch")
                 return timed("s1_submit", self.cohorts[ci].s1_prepare,
-                             rgb_f, lat[ci], num_sample_trajs)
+                             rgb_f, lat[ci], num_sample_trajs,
+                             depth=depth_f)
             return timed("s1_submit", self.cohorts[ci].s1_submit,
                          rgb_f, lat[ci], num_sample_trajs, depth=depth_f)
 

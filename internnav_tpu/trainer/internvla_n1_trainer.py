@@ -136,22 +136,36 @@ class InternVLAN1Trainer(Trainer):
         seg = batch.get("segment_ids")
         seg = jnp.asarray(seg) if seg is not None else None
 
+        ce_chunk = int(getattr(self.cfg.il, "ce_chunk", 0) or 0)
+
         def fwd(mdl):
             embeds = mdl.embed_multimodal(input_ids, jnp.asarray(batch["image_embeds"]))
             logits, hidden, _ = mdl.prefill(
-                embeds, jnp.asarray(batch["position_ids"]), segment_ids=seg
+                embeds, jnp.asarray(batch["position_ids"]), segment_ids=seg,
+                compute_logits=(ce_chunk == 0),
             )
+            if ce_chunk:
+                # full-vocab CE without the (B, T, vocab) fp32 logits
+                # buffer: lm_head + softmax-CE per ce_chunk-token chunk
+                # under jax.checkpoint (qwen_text.chunked_ce)
+                lm = mdl.language_model.chunked_ce(
+                    hidden, labels, ignore_index=IGNORE_INDEX,
+                    chunk=ce_chunk)
+                return lm, hidden
             return logits, hidden
 
         logits, hidden = pol.model.apply({"params": params}, method=fwd)
 
-        # next-token LM loss on supervised positions
-        shift_logits = logits[:, :-1]
-        shift_labels = labels[:, 1:]
-        valid = shift_labels != IGNORE_INDEX
-        safe = jnp.where(valid, shift_labels, 0)
-        ce = optax.softmax_cross_entropy_with_integer_labels(shift_logits, safe)
-        lm_loss = (ce * valid).sum() / jnp.maximum(valid.sum(), 1)
+        if ce_chunk:
+            lm_loss = logits  # fwd returned the chunked CE directly
+        else:
+            # next-token LM loss on supervised positions
+            shift_logits = logits[:, :-1]
+            shift_labels = labels[:, 1:]
+            valid = shift_labels != IGNORE_INDEX
+            safe = jnp.where(valid, shift_labels, 0)
+            ce = optax.softmax_cross_entropy_with_integer_labels(shift_logits, safe)
+            lm_loss = (ce * valid).sum() / jnp.maximum(valid.sum(), 1)
 
         # System-1 loss on traj-token hidden states
         s1_loss = jnp.zeros(())

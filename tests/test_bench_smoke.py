@@ -5,8 +5,11 @@ counts), best-config selection, and the JSON schema — at tiny dims on CPU
 so a bench.py regression never surfaces for the first time on the real
 chip."""
 
+import json
 import sys
 from pathlib import Path
+
+import numpy as np
 
 import pytest
 
@@ -16,7 +19,7 @@ import bench as bench_mod  # noqa: E402
 
 
 def _tiny_cfg(num_layers, weight_dtype="bf16", quant_group_size=None,
-              decode_act_dtype=None):
+              decode_act_dtype=None, kv_dtype="bf16"):
     from internnav_tpu.model.basemodel.internvla_n1.model import (
         InternVLAN1Config,
     )
@@ -94,10 +97,12 @@ def test_bench_compare_quant_sequential_smoke(monkeypatch):
     )
 
     def tiny_quant_cfg(num_layers, weight_dtype="bf16",
-                       quant_group_size=None, decode_act_dtype=None):
+                       quant_group_size=None, decode_act_dtype=None,
+                       kv_dtype="bf16"):
         cfg = InternVLAN1Config.tiny("nextdit_async")
         tc = dataclasses.replace(cfg.text, weight_dtype=weight_dtype,
-                                 quant_group_size=quant_group_size)
+                                 quant_group_size=quant_group_size,
+                                 kv_dtype=kv_dtype)
         return dataclasses.replace(cfg, text=tc)
 
     monkeypatch.setattr(bench_mod, "_full_n1_config", tiny_quant_cfg)
@@ -116,5 +121,35 @@ def test_bench_compare_quant_sequential_smoke(monkeypatch):
     # co-resident compare on the same tiny dims: schemas must line up so
     # the depth-sweep table can mix both
     res2 = bench_mod.bench_compare_quant(num_layers=2, n_prompts=2)
+    assert res2["detail"]["kv_dtype"] == "bf16"
     assert set(res2["detail"]) - {"caveat", "scheme"} \
         == set(det) - {"caveat", "scheme"}
+
+
+def test_bench_train_smoke(monkeypatch):
+    """bench.py --train path at tiny dims on CPU: dataset -> packing ->
+    prepare_batch -> jitted adamw step, with remat + chunked CE enabled
+    exactly as the chip run uses them; JSON schema checked."""
+    import dataclasses
+
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Config,
+    )
+
+    def tiny_train_cfg(cls, system1="nextdit_async", weight_dtype="bf16",
+                       kv_dtype="bf16", remat=False, num_hidden_layers=None):
+        cfg = InternVLAN1Config.tiny(system1)
+        return dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, remat=remat))
+
+    monkeypatch.setattr(InternVLAN1Config, "qwen25vl_7b",
+                        classmethod(tiny_train_cfg))
+    res = bench_mod.bench_train(max_len=256, layers=2, reps=1,
+                                image_hw=28, ce_chunk=64)
+    assert res["unit"] == "tokens/s" and res["value"] > 0
+    det = res["detail"]
+    assert det["remat"] is True
+    assert det["ce_chunk"] == 64
+    assert np.isfinite(det["lm_loss"]) and np.isfinite(det["s1_loss"])
+    assert det["step_time_s_median"] > 0
+    json.dumps(res)  # one-line JSON serializable

@@ -174,3 +174,123 @@ def test_n1_finetune_entry_script(tmp_path):
     assert np.isfinite(metrics["loss"])
     # a checkpoint landed (orbax save on final step)
     assert any(Path(out).rglob("*"), ), "no checkpoint written"
+
+
+def test_n1_trainer_remat_matches_no_remat(tmp_path):
+    """cfg.text.remat=True rematerializes decoder layers in backward
+    (jax.checkpoint) without changing the param tree OR the computed
+    update: losses and updated params match the non-remat step to
+    float epsilon. This is the knob train_n1.py wires from ILCfg.remat
+    for packed-8192 single-chip steps."""
+    import dataclasses
+
+    from internnav_tpu.configs.trainer import ExpCfg, MeshCfg
+    from internnav_tpu.dataset.internvla_n1_dataset import (
+        N1SampleDataset,
+        n1_packed_collate_fn,
+        tokenize_sample,
+        write_synthetic_n1_dataset,
+    )
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Config,
+        InternVLAN1Model,
+    )
+    from internnav_tpu.model.basemodel.internvla_n1.policy import (
+        InternVLAN1Policy,
+        SimpleTokenizer,
+    )
+    from internnav_tpu.trainer.internvla_n1_trainer import InternVLAN1Trainer
+
+    path = write_synthetic_n1_dataset(str(tmp_path / "store.bin"),
+                                      n_episodes=2, T=6, hw=28)
+    cfg_plain = InternVLAN1Config.tiny("nextdit")
+    cfg_remat = dataclasses.replace(
+        cfg_plain, text=dataclasses.replace(cfg_plain.text, remat=True))
+
+    def run(cfg_model):
+        pol = InternVLAN1Policy.build(cfg_model, image_hw=28)
+        tok = SimpleTokenizer(cfg_model.text.vocab_size)
+        pol.tokenizer = tok
+        tpi = pol._tokens_per_image((28, 28))
+        ds = N1SampleDataset(path,
+                             predict_step_nums=cfg_model.predict_step_nums,
+                             num_history=2)
+        rows = [tokenize_sample(s, tok, tokens_per_image=tpi,
+                                n_query=cfg_model.n_query)
+                for s in list(ds)[:2]]
+        batch = n1_packed_collate_fn(
+            rows, max_len=256,
+            predict_step_nums=cfg_model.predict_step_nums)
+        exp = ExpCfg(name="n1r", model_name="internvla_n1",
+                     output_dir=str(tmp_path / f"out_{cfg_model.text.remat}"),
+                     mesh=MeshCfg(axes={"dp": 8}, param_sharding="fsdp"))
+        trainer = InternVLAN1Trainer(exp, pol, total_steps=1, tune_llm=True,
+                                     tune_mm_vision=False)
+        m = trainer.train_on_batches([batch])
+        leaf = np.array(
+            jax.tree_util.tree_leaves(trainer.params["language_model"])[0])
+        return m, leaf
+
+    # the param trees are built from the same PRNGKey and the remat wrapper
+    # preserves module names, so both runs start from identical params
+    m_plain, leaf_plain = run(cfg_plain)
+    m_remat, leaf_remat = run(cfg_remat)
+    np.testing.assert_allclose(m_remat["lm_loss"], m_plain["lm_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(leaf_remat, leaf_plain, rtol=1e-4, atol=1e-6)
+
+
+def test_n1_trainer_chunked_ce_matches_full_logits(tmp_path):
+    """il.ce_chunk>0 computes the SAME mean CE (and the same update) as the
+    classic full-logits path while never materializing (B, T, vocab)
+    logits — lm_head + softmax-CE per chunk under jax.checkpoint
+    (qwen_text.chunked_ce). chunk=96 does not divide T, exercising the
+    ignore-padded tail."""
+    from internnav_tpu.configs.trainer import ExpCfg, MeshCfg
+    from internnav_tpu.dataset.internvla_n1_dataset import (
+        N1SampleDataset,
+        n1_packed_collate_fn,
+        tokenize_sample,
+        write_synthetic_n1_dataset,
+    )
+    from internnav_tpu.model.basemodel.internvla_n1.model import InternVLAN1Config
+    from internnav_tpu.model.basemodel.internvla_n1.policy import (
+        InternVLAN1Policy,
+        SimpleTokenizer,
+    )
+    from internnav_tpu.trainer.internvla_n1_trainer import InternVLAN1Trainer
+
+    path = write_synthetic_n1_dataset(str(tmp_path / "store.bin"),
+                                      n_episodes=2, T=6, hw=28)
+    cfg_model = InternVLAN1Config.tiny("nextdit")
+
+    def run(ce_chunk):
+        pol = InternVLAN1Policy.build(cfg_model, image_hw=28)
+        tok = SimpleTokenizer(cfg_model.text.vocab_size)
+        pol.tokenizer = tok
+        tpi = pol._tokens_per_image((28, 28))
+        ds = N1SampleDataset(path,
+                             predict_step_nums=cfg_model.predict_step_nums,
+                             num_history=2)
+        rows = [tokenize_sample(s, tok, tokens_per_image=tpi,
+                                n_query=cfg_model.n_query)
+                for s in list(ds)[:2]]
+        batch = n1_packed_collate_fn(
+            rows, max_len=256,
+            predict_step_nums=cfg_model.predict_step_nums)
+        exp = ExpCfg(name="n1c", model_name="internvla_n1",
+                     output_dir=str(tmp_path / f"out_ce{ce_chunk}"),
+                     mesh=MeshCfg(axes={"dp": 8}, param_sharding="fsdp"))
+        exp.il.ce_chunk = ce_chunk
+        trainer = InternVLAN1Trainer(exp, pol, total_steps=1, tune_llm=True,
+                                     tune_mm_vision=False)
+        m = trainer.train_on_batches([batch])
+        leaf = np.array(
+            jax.tree_util.tree_leaves(trainer.params["language_model"])[0])
+        return m, leaf
+
+    m_full, leaf_full = run(0)
+    m_chunk, leaf_chunk = run(96)
+    np.testing.assert_allclose(m_chunk["lm_loss"], m_full["lm_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(leaf_chunk, leaf_full, rtol=1e-4, atol=1e-6)
