@@ -327,7 +327,8 @@ def bench_batched(batch: int) -> dict:
 def bench_pipelined(batch: int, cohorts: int = 2,
                     shared_decode=None, shared_s1=None,
                     weight_dtype: str = "int8",
-                    kv_dtype: str = "bf16") -> dict:
+                    kv_dtype: str = "bf16",
+                    pin_geometry: bool = False) -> dict:
     """Phase-interleaved multi-cohort serving (serving.PipelinedN1Server):
     while one cohort's host work runs (prompt build, uploads, token
     parsing, fetches), the other cohorts' device programs execute — async
@@ -414,7 +415,14 @@ def bench_pipelined(batch: int, cohorts: int = 2,
     # tests/test_serving_shared_decode.py / test_serving_shared_s1.py) and
     # keeps the per-cohort paths as fallback candidates.
     alt = cohorts - 1 if cohorts > 2 else cohorts + 1
-    if shared_decode is None and shared_s1 is None:
+    if pin_geometry:
+        # pareto/sweep mode: measure EXACTLY the requested geometry (no
+        # alt-cohort candidate), so the evaluator path's latency
+        # percentiles describe the config the flags name
+        dec = True if shared_decode is None else shared_decode
+        s1m = dec if shared_s1 is None else shared_s1
+        candidates = [(cohorts, dec, s1m)]
+    elif shared_decode is None and shared_s1 is None:
         candidates = [(cohorts, True, True), (alt, True, True),
                       (cohorts, True, False), (cohorts, False, False)]
     else:
@@ -530,7 +538,8 @@ def bench_pipelined(batch: int, cohorts: int = 2,
     }
 
 
-def bench_evaluator_path(ctx: dict, max_step: int = 24) -> dict:
+def bench_evaluator_path(ctx: dict, max_step: int = 24,
+                         overlap: bool = True) -> dict:
     """The SAME serving topology measured through the full product loop:
     VLNPipelinedEvaluator (episode loading, FakeEnv sim stepping, metric
     accumulation, resume store, progress logging) driving
@@ -599,7 +608,8 @@ def bench_evaluator_path(ctx: dict, max_step: int = 24) -> dict:
                                      "depth_resolution": [IMAGE_HW, IMAGE_HW],
                                      "cohorts": cohorts,
                                      "shared_decode": ctx["shared_decode"],
-                                     "shared_s1": ctx["shared_s1"]}),
+                                     "shared_s1": ctx["shared_s1"],
+                                     "overlap_apply": overlap}),
             task=TaskCfg(max_step=steps,
                          metric_config=MetricCfg(success_distance=3.0)),
             dataset=EvalDatasetCfg(),
@@ -640,6 +650,7 @@ def bench_evaluator_path(ctx: dict, max_step: int = 24) -> dict:
         "episodes": batch * cohorts,
         "max_step": max_step,
         "streams": batch * cohorts,
+        "overlap_apply": overlap,
         "loop": "VLNPipelinedEvaluator: FakeEnv sim stepping + metric "
                 "accumulation + resume store + progress logging, cohorts "
                 "sharing the serving bench's params and jit caches",
@@ -1185,6 +1196,21 @@ def main() -> None:
     ap.add_argument("--train-max-len", type=int, default=8192,
                     help="--train packed sequence length (reference trains "
                          "seq 8192, train_dual_system.sh)")
+    ap.add_argument("--pin-geometry", action="store_true",
+                    help="measure EXACTLY --cohorts x --batch (no alt-cohort "
+                         "candidate), so the evaluator-path latency "
+                         "percentiles describe the named config — for "
+                         "pareto sweeps")
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="A-B lever: run the evaluator-path bench with the "
+                         "pre-overlap barrier form (all cohorts' env "
+                         "stepping as a serial host phase after the "
+                         "macro-step barrier) instead of firing each "
+                         "cohort's apply as its coroutine completes")
+    ap.add_argument("--eval-runs", type=int, default=3,
+                    help="evaluator-path samples for the median headline "
+                         "(default 3; use 1 for sweep points, 3+ for the "
+                         "headline config)")
     ap.add_argument("--no-evaluator-path", action="store_true",
                     help="skip the evaluator-path bench (VLNPipelinedEvaluator "
                          "through the full product loop with p50/p99 "
@@ -1285,7 +1311,8 @@ def main() -> None:
         result = bench_pipelined(args.batch, args.cohorts,
                                  shared_decode=shared, shared_s1=s1,
                                  weight_dtype=args.weight_dtype,
-                                 kv_dtype=args.kv_dtype)
+                                 kv_dtype=args.kv_dtype,
+                                 pin_geometry=args.pin_geometry)
     ctx = result.pop("_ctx", None)
     if ctx is not None and not args.no_evaluator_path:
         # THE headline (BENCH_METHOD.md): actions/s through the FULL
@@ -1295,7 +1322,9 @@ def main() -> None:
         # The serving-loop number (stream starts included, evaluator
         # excluded) moves to detail.serving_loop.
         try:
-            runs = [bench_evaluator_path(ctx) for _ in range(3)]
+            n_runs = max(1, args.eval_runs)
+            runs = [bench_evaluator_path(ctx, overlap=not args.no_overlap)
+                    for _ in range(n_runs)]
             vals = sorted(r["actions_per_sec"] for r in runs)
             med = vals[len(vals) // 2]
             result["detail"]["serving_loop"] = {
@@ -1303,7 +1332,7 @@ def main() -> None:
                 "vs_baseline": result["vs_baseline"],
             }
             result["metric"] = ("internvla_n1_dual_system_actions_per_sec"
-                                "_per_chip_7b_evaluator_median3")
+                                f"_per_chip_7b_evaluator_median{n_runs}")
             result["value"] = round(med, 2)
             result["vs_baseline"] = round(med / REF_ACTIONS_PER_SEC, 3)
             result["detail"]["evaluator_path"] = runs[

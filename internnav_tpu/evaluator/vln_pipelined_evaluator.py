@@ -163,6 +163,10 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
             kwargs.setdefault("env", self._prebuilt_envs[0])
         else:
             self.cohort_count = int(settings.get("cohorts", 2))
+        # env_settings["overlap_apply"]=False restores the pre-overlap
+        # barrier form (all cohorts' env stepping as a serial host phase
+        # after the macro-step barrier) — kept as an A-B measurement lever.
+        self._overlap_apply = bool(settings.get("overlap_apply", True))
         if self._prebuilt_envs is None and cfg.env.env_type != "fake":
             # ANY real env_type goes through _build_real_envs — including
             # cohorts=1, which previously fell through to the base class's
@@ -347,13 +351,19 @@ class VLNPipelinedEvaluator(VLNBatchedEvaluator):
             # barrier form left the chip idle for the entire sim-stepping
             # phase every macro-step; see docs/BENCH_METHOD.md).
             live = dict(gens)
+            deferred: List[Any] = []
             while live:
                 for ci in list(live):
                     try:
                         next(live[ci])
                     except StopIteration as stop:
                         del live[ci]
-                        by_idx[ci].apply(stop.value)
+                        if self._overlap_apply:
+                            by_idx[ci].apply(stop.value)
+                        else:
+                            deferred.append((ci, stop.value))
+            for ci, value in deferred:  # barrier form (overlap_apply=False)
+                by_idx[ci].apply(value)
         results: List[Dict[str, Any]] = []
         for c in cohorts:
             results.extend(c.results)

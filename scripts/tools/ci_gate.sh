@@ -12,10 +12,15 @@ echo "== fast tier =="
 python -m pytest tests/ -q
 
 echo "== multichip dryrun (8 virtual devices) =="
-JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+# PALLAS_AXON_POOL_IPS= : keep the axon TPU plugin out — sitecustomize's
+# register() overrides JAX_PLATFORMS and would attach this process to the
+# (possibly busy) chip
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 echo "== distributed-eval dryrun (2 jax.distributed processes) =="
-JAX_PLATFORMS=cpu python scripts/tools/dryrun_distributed_eval.py
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python scripts/tools/dryrun_distributed_eval.py
 
 echo "CI GATE GREEN"

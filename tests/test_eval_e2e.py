@@ -161,6 +161,28 @@ def test_pipelined_eval_resume_skips_done(tmp_path):
     assert m2["success"] == m1["success"]
 
 
+def test_pipelined_eval_barrier_form_parity(tmp_path):
+    """overlap_apply=False (the pre-overlap barrier form, kept as an A-B
+    measurement lever for bench.py --no-overlap) must produce identical
+    per-episode results to the default overlapped scheduler."""
+    from internnav_tpu.evaluator import VLNPipelinedEvaluator
+
+    results = {}
+    for name, overlap in (("on", True), ("off", False)):
+        cfg = small_eval_cfg(tmp_path / name)
+        cfg.env.env_settings = dict(cfg.env.env_settings or {},
+                                    cohorts=2, overlap_apply=overlap)
+        cfg.eval_type = "vln_pipelined"
+        results[name] = VLNPipelinedEvaluator(
+            cfg, episodes=make_episodes(4)).eval()
+    drop = {"wall_clock_s", "actions_timed", "action_latency_p50_ms",
+            "action_latency_p90_ms", "action_latency_p99_ms",
+            "action_latency_mean_ms", "actions_per_sec"}
+    a = {k: v for k, v in results["on"].items() if k not in drop}
+    b = {k: v for k, v in results["off"].items() if k not in drop}
+    assert a == b
+
+
 def test_pipelined_eval_cma_agent(tmp_path):
     """Pipelined dual-cohort eval with the recurrent CMA agent (its
     step_coroutine overlap path)."""
