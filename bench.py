@@ -538,8 +538,16 @@ def bench_pipelined(batch: int, cohorts: int = 2,
     }
 
 
+def _median(vals: list) -> float:
+    """True median of sorted samples (even N averages the middle two —
+    taking vals[N//2] alone would systematically report the optimistic
+    upper half on a noisy chip)."""
+    mid = len(vals) // 2
+    return vals[mid] if len(vals) % 2 else 0.5 * (vals[mid - 1] + vals[mid])
+
+
 def bench_evaluator_path(ctx: dict, max_step: int = 24,
-                         overlap: bool = True) -> dict:
+                         overlap: bool = True, warm: bool = True) -> dict:
     """The SAME serving topology measured through the full product loop:
     VLNPipelinedEvaluator (episode loading, FakeEnv sim stepping, metric
     accumulation, resume store, progress logging) driving
@@ -631,7 +639,8 @@ def bench_evaluator_path(ctx: dict, max_step: int = 24,
         # identical warm run visits exactly the measured run's shape
         # sequence and the measured run is pure steady-state — what a
         # production eval (hours long) actually experiences.
-        run(max_step, f"{tmp}/warm")
+        if warm:
+            run(max_step, f"{tmp}/warm")
         metrics = run(max_step, f"{tmp}/run")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1045,6 +1054,10 @@ def bench_train(max_len: int = 8192, layers: int = 2, reps: int = 3,
                                   param_sharding="replicated"))
         exp.il.ce_chunk = ce_chunk
         exp.il.remat = True
+        # fp32 Adam m/v for the 1.56B trainable params is 12.5 GB — with
+        # 4.6 GB of bf16 params that alone exceeds the 16 GB chip (the
+        # round-5 phase-2 RESOURCE_EXHAUSTED); bf16 moment storage halves it
+        exp.il.opt_state_dtype = "bf16"
         trainer = InternVLAN1Trainer(exp, pol, total_steps=reps + 1,
                                      tune_llm=True, tune_mm_vision=False)
 
@@ -1090,7 +1103,16 @@ def bench_train(max_len: int = 8192, layers: int = 2, reps: int = 3,
         # chunked lm_head likewise 8 (fwd + checkpoint recompute + 2-matmul
         # bwd). Embedding gather/scatter-add are not matmul FLOPs.
         flops_per_token = 8 * layers * per_layer + 8 * d * v
-        total_flops = flops_per_token * max_len
+        # attention scores (QK^T + AV) from the packed row's ACTUAL segment
+        # lengths: causal fwd = 2*d*sum(L_i^2) per layer (two matmuls over
+        # mean-context L/2), x4 for fwd + 2x bwd + remat re-fwd — at seq
+        # 8192 this is ~20% of per-layer compute and omitting it understates
+        # MFU
+        seg_row = np.asarray(batch["segment_ids"])[0]
+        _, seg_counts = np.unique(seg_row, return_counts=True)
+        sum_len_sq = float((seg_counts.astype(np.float64) ** 2).sum())
+        attn_flops = 8.0 * d * sum_len_sq * layers
+        total_flops = flops_per_token * max_len + attn_flops
         mfu = total_flops / step_s / 197e12
 
         return {
@@ -1110,12 +1132,15 @@ def bench_train(max_len: int = 8192, layers: int = 2, reps: int = 3,
                 "host_vision_encode_s": round(vision_s, 3),
                 "lm_loss": float(m["lm_loss"]),
                 "s1_loss": float(m["s1_loss"]),
-                "mfu": round(mfu, 4),
+                "mfu": round(mfu, 8),  # 8 digits: tiny smoke configs are ~1e-7
                 "mfu_accounting": "8 FLOPs/param/token decoder (fwd 2 + "
                                   "bwd 4 + remat re-fwd 2) + 8 lm_head "
-                                  "(chunked recompute), peak 197 TFLOP/s "
-                                  "bf16 v5e; embeds/ViT excluded (gather / "
-                                  "frozen host-pipelined)",
+                                  "(chunked recompute) + attention scores "
+                                  "QK^T/AV from actual packed segment "
+                                  "lengths (8*d*sum(L^2) per layer), peak "
+                                  "197 TFLOP/s bf16 v5e; embeds/ViT "
+                                  "excluded (gather / frozen "
+                                  "host-pipelined)",
                 "note": "full 7B width at reduced depth on ONE 16 GB chip; "
                         "the reference trains seq-8192 on 64 A100-80GB "
                         "with ZeRO-2 (train_dual_system.sh). vs_baseline "
@@ -1323,10 +1348,24 @@ def main() -> None:
         # excluded) moves to detail.serving_loop.
         try:
             n_runs = max(1, args.eval_runs)
-            runs = [bench_evaluator_path(ctx, overlap=not args.no_overlap)
-                    for _ in range(n_runs)]
+            # warm once per process: the samples share ctx's jit caches and
+            # visit identical shape sequences, so re-warming every sample
+            # would be pure duplicate work (minutes each on the chip)
+            runs = [bench_evaluator_path(ctx, overlap=not args.no_overlap,
+                                         warm=(i == 0))
+                    for i in range(n_runs)]
             vals = sorted(r["actions_per_sec"] for r in runs)
-            med = vals[len(vals) // 2]
+            med = _median(vals)
+            if med <= 0:
+                # evaluator measured no actions: keep the serving-loop
+                # headline untouched rather than publish a 0.0 median
+                raise RuntimeError("evaluator path measured 0 actions/s")
+            # compute every derived value BEFORE mutating result so a
+            # failure here leaves the serving-loop headline intact
+            spread = {"min": round(vals[0], 2), "max": round(vals[-1], 2),
+                      "rel_spread": round((vals[-1] - vals[0]) / med, 3)}
+            med_run = min(runs,
+                          key=lambda r: abs(r["actions_per_sec"] - med))
             result["detail"]["serving_loop"] = {
                 "actions_per_sec": result["value"],
                 "vs_baseline": result["vs_baseline"],
@@ -1335,14 +1374,10 @@ def main() -> None:
                                 f"_per_chip_7b_evaluator_median{n_runs}")
             result["value"] = round(med, 2)
             result["vs_baseline"] = round(med / REF_ACTIONS_PER_SEC, 3)
-            result["detail"]["evaluator_path"] = runs[
-                [r["actions_per_sec"] for r in runs].index(med)]
+            result["detail"]["evaluator_path"] = med_run
             result["detail"]["evaluator_path_samples"] = [
                 round(v, 2) for v in vals]
-            result["detail"]["evaluator_path_spread"] = {
-                "min": round(vals[0], 2), "max": round(vals[-1], 2),
-                "rel_spread": round((vals[-1] - vals[0]) / med, 3),
-            }
+            result["detail"]["evaluator_path_spread"] = spread
         except Exception as e:  # the headline must still print
             result["detail"]["evaluator_path"] = {
                 "error": f"{type(e).__name__}: {e}"[:300]}

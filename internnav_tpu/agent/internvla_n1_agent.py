@@ -418,7 +418,7 @@ class BatchedInternVLAN1Agent(Agent):
                               "system1", "") or ""
             if "navdp" in system1:
                 # navdp head consumes explicit [memory, current] RGBD pairs
-                # (serving._s1_submit_navdp); assemble them from per-slot
+                # (serving._s1_navdp_prepare); assemble them from per-slot
                 # state + current obs with the single-stream preprocessing
                 # (depth x scale, clamp; memory depth approximated by the
                 # current depth exactly like InternVLAN1Agent._consume_s2)
@@ -436,11 +436,24 @@ class BatchedInternVLAN1Agent(Agent):
                     if d.ndim == 2:
                         d = d[..., None]
                     depth_pairs.append(np.stack([d, d]))
-                h1 = self.policy.s1_submit(
-                    np.stack(rgb_pairs), lat,
-                    num_sample_trajs=self.num_sample_trajs,
-                    depth=np.stack(depth_pairs))
-                yield  # device busy: navdp denoise in flight
+                if self.s1_pool is not None:
+                    # flagship shared-grouped topology: pool the navdp spec
+                    # with peer cohorts' denoises (one grouped DDPM program,
+                    # serving.s1_grouped_dispatch navdp bucket)
+                    spec = self.policy.s1_prepare(
+                        np.stack(rgb_pairs), lat,
+                        num_sample_trajs=self.num_sample_trajs,
+                        depth=np.stack(depth_pairs))
+                    self.s1_pool.add(spec)
+                    yield  # uploads done; pool gathers peer cohorts
+                    self.s1_pool.flush()
+                    h1 = spec["handle"]
+                else:
+                    h1 = self.policy.s1_submit(
+                        np.stack(rgb_pairs), lat,
+                        num_sample_trajs=self.num_sample_trajs,
+                        depth=np.stack(depth_pairs))
+                    yield  # device busy: navdp denoise in flight
             elif self.s1_pool is not None:
                 spec = self.policy.s1_prepare(
                     cur, lat, num_sample_trajs=self.num_sample_trajs,

@@ -75,6 +75,13 @@ class IlCfg(_Cfg):
     #: (B, T, vocab) fp32 logits (5 GB at packed-8192 x 152k vocab) are
     #: never materialized; 0 = classic full-logits path.
     ce_chunk: int = 0
+    #: storage dtype for Adam's m/v moments ("bf16" halves optimizer HBM —
+    #: 12.5 GB -> 6.2 GB for the 1.56B trainable params of a full-width-7B
+    #: two-layer + embeddings step — the lever that fits packed-8192 N1
+    #: training on one 16 GB chip; moments are still UPDATED in fp32 each
+    #: step, see trainer/base.py scale_by_adam_sd). None/"fp32" keeps
+    #: optax.adamw's stock fp32 state.
+    opt_state_dtype: Optional[str] = None
 
 
 class TrainEvalCfg(_Cfg):

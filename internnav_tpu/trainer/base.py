@@ -33,6 +33,54 @@ from internnav_tpu.utils.logging import get_logger
 from internnav_tpu.utils.metric_logger import MetricLogger
 
 
+def scale_by_adam_sd(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                     state_dtype=jnp.bfloat16) -> optax.GradientTransformation:
+    """Adam moment scaling with reduced-precision moment STORAGE.
+
+    Math identical to optax.scale_by_adam (moments updated and bias-corrected
+    in fp32 each step), but m and v are stored in `state_dtype` between
+    steps — bfloat16 keeps fp32's exponent range with an 8-bit mantissa,
+    halving optimizer HBM. This is the lever that fits full-width 7B decoder
+    layers plus both 545M-param embedding tables (1.56B trainable params:
+    12.5 GB of fp32 m+v -> 6.2 GB) on one 16 GB chip; the torch ecosystem's
+    equivalent is bitsandbytes' 8-bit Adam, which the reference does not use
+    because 64x A100-80GB does not need it (train_dual_system.sh zero2)."""
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=state_dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        f32 = lambda x: x.astype(jnp.float32)
+        mu32 = jax.tree_util.tree_map(
+            lambda g, m: b1 * f32(m) + (1.0 - b1) * f32(g),
+            updates, state.mu)
+        nu32 = jax.tree_util.tree_map(
+            lambda g, v: b2 * f32(v) + (1.0 - b2) * jnp.square(f32(g)),
+            updates, state.nu)
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        # the update uses the freshly computed fp32 moments (not the
+        # round-tripped stored copies): quantization error enters only
+        # through the previous step's state, exactly like bnb 8-bit Adam
+        new_updates = jax.tree_util.tree_map(
+            lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu32, nu32)
+        cast = lambda x: x.astype(state_dtype)
+        return new_updates, optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree_util.tree_map(cast, mu32),
+            nu=jax.tree_util.tree_map(cast, nu32),
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: ExpCfg, total_steps: int) -> optax.GradientTransformation:
     """AdamW + warmup-cosine/linear decay + global-norm clip, with the
     reference's no-decay grouping for bias/norm params
@@ -59,6 +107,19 @@ def make_optimizer(cfg: ExpCfg, total_steps: int) -> optax.GradientTransformatio
 
         return jax.tree_util.tree_map_with_path(is_decay, params)
 
+    sd = getattr(il, "opt_state_dtype", None)
+    if sd:
+        # decomposed AdamW so the moment-storage dtype is controllable;
+        # same chain optax.adamw builds internally, with scale_by_adam_sd
+        # in place of scale_by_adam (math parity pinned in
+        # tests/test_trainer.py::test_opt_state_dtype_*)
+        return optax.chain(
+            optax.clip_by_global_norm(il.max_grad_norm),
+            scale_by_adam_sd(state_dtype=jnp.dtype(
+                {"bf16": jnp.bfloat16, "fp32": jnp.float32}[sd])),
+            optax.add_decayed_weights(il.weight_decay, mask=decay_mask),
+            optax.scale_by_learning_rate(sched),
+        )
     return optax.chain(
         optax.clip_by_global_norm(il.max_grad_norm),
         optax.adamw(sched, weight_decay=il.weight_decay, mask=decay_mask),

@@ -86,6 +86,23 @@ class InternVLAN1Trainer(Trainer):
                  tune_llm: bool = True, tune_mm_vision: bool = False):
         self.tune_llm = tune_llm
         self.tune_mm_vision = tune_mm_vision
+        # il.remat is applied HERE, at the trainer/config boundary: a policy
+        # built without decoder-layer rematerialization (the serving default)
+        # still gets it from the training config — the knob that fits
+        # packed-8192 full-vocab steps on a 16 GB chip. Safe post-build:
+        # nn.remat preserves the param tree exactly (pinned in
+        # tests/test_n1_trainer.py) and the model is only traced at the
+        # first train step.
+        if bool(getattr(cfg.il, "remat", False)) and not policy.cfg.text.remat:
+            import dataclasses as _dc
+
+            from internnav_tpu.model.basemodel.internvla_n1.model import (
+                InternVLAN1Model,
+            )
+
+            policy.cfg = _dc.replace(
+                policy.cfg, text=_dc.replace(policy.cfg.text, remat=True))
+            policy.model = InternVLAN1Model(policy.cfg)
         super().__init__(cfg, policy, dataset, total_steps)
         labels = trainability_labels(policy.params, tune_llm=tune_llm,
                                      tune_mm_vision=tune_mm_vision)

@@ -68,6 +68,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="rematerialize decoder layers in backward "
                          "(jax.checkpoint) — fits packed-8192 steps in "
                          "16 GB at the cost of ~33% more decoder FLOPs")
+    ap.add_argument("--opt-state-dtype", default=None,
+                    choices=["bf16", "fp32"],
+                    help="Adam m/v storage dtype; bf16 halves optimizer "
+                         "HBM (trainer/base.py scale_by_adam_sd)")
     ap.add_argument("--ce-chunk", type=int, default=0,
                     help="chunked full-vocab CE: lm_head+softmax per "
                          "N-token chunk under jax.checkpoint, never "
@@ -148,21 +152,20 @@ def main(argv=None) -> dict:
         exp.il.remat = True
     if args.ce_chunk:
         exp.il.ce_chunk = args.ce_chunk
+    if args.opt_state_dtype:
+        exp.il.opt_state_dtype = args.opt_state_dtype
     if args.tp > 1:
         exp.mesh = MeshCfg(axes={"dp": -1, "tp": args.tp},
                            param_sharding="tp", fsdp_rest=True)
     elif args.fsdp:
         exp.mesh = MeshCfg(axes={"dp": -1}, param_sharding="fsdp")
 
-    # il.remat -> decoder-layer rematerialization in backward (the knob
-    # that makes packed-8192 steps fit a 16 GB chip); forward-only paths
+    # il.remat (decoder-layer rematerialization in backward — the knob that
+    # makes packed-8192 steps fit a 16 GB chip) is applied by
+    # InternVLAN1Trainer at the trainer/config boundary; forward-only paths
     # are unaffected so serving reuses the same checkpoint layout
     cfg_model = (InternVLAN1Config.tiny(args.system1) if args.tiny
                  else InternVLAN1Config.qwen25vl_7b(args.system1))
-    if bool(getattr(exp.il, "remat", False)) and not cfg_model.text.remat:
-        import dataclasses as _dc
-        cfg_model = _dc.replace(
-            cfg_model, text=_dc.replace(cfg_model.text, remat=True))
     if args.num_history is not None:
         import dataclasses
         cfg_model = dataclasses.replace(cfg_model,

@@ -290,3 +290,58 @@ def test_pipelined_evaluator_shared_s1_matches(tmp_path):
     ref = {k: v for k, v in ref.items() if k not in drop}
     got = {k: v for k, v in got.items() if k not in drop}
     assert got == ref, (got, ref)
+
+
+def test_pipelined_evaluator_shared_s1_navdp_matches(tmp_path):
+    """NavDP cohorts in the flagship shared-grouped topology THROUGH THE
+    PRODUCT LOOP: with env_settings["shared_s1"], the batched agent's navdp
+    branch must pool its spec (serving.s1_grouped_dispatch navdp bucket)
+    rather than silently falling back to per-cohort dispatch, and the
+    per-episode results must match per-cohort dispatch (the grouped DDPM
+    program replays each cohort's own x_init + step-noise draws
+    bit-equally; trajectories differ only by GEMM epsilon, which never
+    flips the discretized actions on this fixture)."""
+    from internnav_tpu.configs import (
+        AgentCfg, EnvCfg, EvalCfg, EvalDatasetCfg, TaskCfg,
+    )
+    from internnav_tpu.evaluator import Evaluator
+    from internnav_tpu.model.basemodel.internvla_n1.model import (
+        InternVLAN1Config,
+    )
+    from tests.test_eval_e2e import make_episodes
+
+    def run(shared, out):
+        cfg = EvalCfg(
+            agent=AgentCfg(model_name="internvla_n1_batched",
+                           model_settings={"batch_size": 2,
+                                           "max_new_tokens": 4,
+                                           "num_sample_trajs": 2,
+                                           "config": InternVLAN1Config.tiny(
+                                               "navdp_async")}),
+            env=EnvCfg(env_type="fake", env_num=2,
+                       env_settings={"rgb_resolution": [56, 56],
+                                     "depth_resolution": [56, 56],
+                                     "cohorts": 2,
+                                     "shared_decode": shared,
+                                     "shared_s1": shared}),
+            task=TaskCfg(max_step=3),
+            dataset=EvalDatasetCfg(),
+            eval_type="vln_pipelined",
+            output_dir=str(tmp_path / out),
+        )
+        ev = Evaluator.init(cfg, episodes=make_episodes(5))
+        return ev, ev.eval()
+
+    _, ref = run(False, "plain_navdp")
+    ev_got, got = run(True, "shared_navdp")
+    # the grouped navdp program must actually have run — without this the
+    # parity assert passes trivially if the agent falls back to per-cohort
+    grouped_keys = [k for k in ev_got.agent.policy.inner._jit_cache
+                    if k.startswith("s1G_navdp")]
+    assert grouped_keys, list(ev_got.agent.policy.inner._jit_cache)
+    drop = ("wall_clock_s", "action_latency_p50_ms",
+            "action_latency_p90_ms", "action_latency_p99_ms",
+            "action_latency_mean_ms")  # wall-time metrics, not semantics
+    ref = {k: v for k, v in ref.items() if k not in drop}
+    got = {k: v for k, v in got.items() if k not in drop}
+    assert got == ref, (got, ref)

@@ -20,11 +20,21 @@ import bench as bench_mod  # noqa: E402
 
 def _tiny_cfg(num_layers, weight_dtype="bf16", quant_group_size=None,
               decode_act_dtype=None, kv_dtype="bf16"):
+    """Tiny config that HONORS the dtype knobs, so the smoke exercises the
+    exact weight_dtype/kv_dtype plumb-through the chip sweeps rely on."""
+    import dataclasses
+
     from internnav_tpu.model.basemodel.internvla_n1.model import (
         InternVLAN1Config,
     )
 
-    return InternVLAN1Config.tiny("nextdit_async")
+    cfg = InternVLAN1Config.tiny("nextdit_async")
+    tc = dataclasses.replace(cfg.text, weight_dtype=weight_dtype,
+                             quant_group_size=quant_group_size,
+                             kv_dtype=kv_dtype)
+    if decode_act_dtype is not None:
+        tc = dataclasses.replace(tc, decode_act_dtype=decode_act_dtype)
+    return dataclasses.replace(cfg, text=tc)
 
 
 @pytest.mark.parametrize("pinned", [None, False])
@@ -60,6 +70,41 @@ def test_bench_pipelined_candidate_sweep(monkeypatch, pinned):
     assert det["shared_decode"] in (True, False)
     assert det["shared_s1"] in (True, False)
     assert det["phase_breakdown"]["s2_blocking_s"] > 0
+
+
+def test_bench_pinned_geometry_kv_int8(monkeypatch):
+    """--pin-geometry --kv-dtype int8 (the sweep/pareto mode): exactly the
+    requested (cohorts, decode-mode, S1-mode) cell is measured — no
+    alt-cohort candidate — and the int8 KV cache reaches the model config.
+    These paths first ran on the real chip in round 5; this smoke keeps
+    any regression from surfacing there again."""
+    monkeypatch.setattr(bench_mod, "_full_n1_config", _tiny_cfg)
+    monkeypatch.setattr(bench_mod, "IMAGE_HW", 56)
+    monkeypatch.setattr(bench_mod, "DECODE_TOKENS", 4)
+    monkeypatch.setattr(bench_mod, "CYCLES", 1)
+    monkeypatch.setattr(bench_mod, "NUM_SAMPLE_TRAJS", 4)
+
+    res = bench_mod.bench_pipelined(batch=2, cohorts=2, shared_decode=True,
+                                    shared_s1=False, kv_dtype="int8",
+                                    pin_geometry=True)
+    det = res["detail"]
+    assert det["kv_dtype"] == "int8"
+    tried = det["configs_measured"]
+    assert [(c["cohorts"], c["shared_decode"], c["shared_s1"])
+            for c in tried] == [(2, True, False)]
+    assert res["value"] == tried[0]["actions_per_sec"]
+    # the kv dtype must actually reach the serving model config
+    assert res.pop("_ctx")["inner"].cfg.text.kv_dtype == "int8"
+
+
+def test_bench_median():
+    """The headline median: true median for odd AND even sample counts
+    (even N averages the middle two rather than reporting the optimistic
+    upper-middle sample)."""
+    assert bench_mod._median([1.0, 2.0, 9.0]) == 2.0
+    assert bench_mod._median([4.2, 4.9]) == pytest.approx(4.55)
+    assert bench_mod._median([1.0, 2.0, 3.0, 10.0]) == 2.5
+    assert bench_mod._median([7.0]) == 7.0
 
 
 def test_bench_evaluator_path_smoke(monkeypatch):
@@ -152,4 +197,7 @@ def test_bench_train_smoke(monkeypatch):
     assert det["ce_chunk"] == 64
     assert np.isfinite(det["lm_loss"]) and np.isfinite(det["s1_loss"])
     assert det["step_time_s_median"] > 0
+    # MFU accounting (param matmuls + packed-segment attention scores)
+    assert det["mfu"] > 0 and np.isfinite(det["mfu"])
+    assert "attention" in det["mfu_accounting"]
     json.dumps(res)  # one-line JSON serializable

@@ -169,3 +169,57 @@ def test_ema_tracked_and_checkpointed(tmp_path):
     np.testing.assert_allclose(np.asarray(t2.ema_params["w"]),
                                np.asarray(t.ema_params["w"]), rtol=1e-6)
     assert t2.step == 3
+
+
+def _adam_cfg(opt_state_dtype=None):
+    exp = ExpCfg(name="t", model_name="cma", output_dir="/tmp/x",
+                 mesh=MeshCfg(axes={"dp": 1}))
+    exp.il.lr_schedule = "constant"
+    exp.il.lr = 1e-2
+    exp.il.weight_decay = 0.01
+    exp.il.opt_state_dtype = opt_state_dtype
+    return exp
+
+
+def _run_adam(exp, steps=5):
+    from internnav_tpu.trainer.base import make_optimizer
+
+    rs = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rs.randn(8, 8), jnp.float32),
+              "bias": jnp.asarray(rs.randn(8), jnp.float32)}
+    tx = make_optimizer(exp, total_steps=100)
+    state = tx.init(params)
+    del rs
+    for i in range(steps):
+        # identical grad sequence across calls: reseed per step
+        rs2 = np.random.RandomState(100 + i)
+        grads = {"w": jnp.asarray(rs2.randn(8, 8), jnp.float32),
+                 "bias": jnp.asarray(rs2.randn(8), jnp.float32)}
+        updates, state = tx.update(grads, state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+    return params, state
+
+
+def test_opt_state_dtype_fp32_matches_stock_adamw():
+    """scale_by_adam_sd at fp32 storage IS optax.adamw: same chain, same
+    math (bias correction, eps placement, decay masking on 'bias')."""
+    ref, _ = _run_adam(_adam_cfg(None))
+    got, _ = _run_adam(_adam_cfg("fp32"))
+    np.testing.assert_allclose(np.asarray(got["w"]), np.asarray(ref["w"]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got["bias"]),
+                               np.asarray(ref["bias"]), rtol=1e-6, atol=1e-7)
+
+
+def test_opt_state_dtype_bf16_halves_state_and_tracks_fp32():
+    """bf16 moment storage: m/v leaves ARE bfloat16 (the 2x optimizer-HBM
+    saving bench_train relies on) and the resulting params stay within
+    bf16-mantissa error of the fp32-state trajectory."""
+    ref, _ = _run_adam(_adam_cfg(None))
+    got, state = _run_adam(_adam_cfg("bf16"))
+    adam_state = state[1]  # chain: (clip, adam_sd, decay, lr)
+    for leaf in jax.tree_util.tree_leaves((adam_state.mu, adam_state.nu)):
+        assert leaf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got["w"]), np.asarray(ref["w"]),
+                               rtol=0, atol=5e-2)
