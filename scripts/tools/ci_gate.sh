@@ -9,7 +9,11 @@ set -e
 cd "$(git rev-parse --show-toplevel)"
 
 echo "== fast tier =="
-python -m pytest tests/ -q
+# PALLAS_AXON_POOL_IPS= here too: sitecustomize's register() runs at
+# interpreter START (before conftest can set JAX_PLATFORMS=cpu), attaching
+# even CPU-only test processes to the axon tunnel — which starves any
+# concurrent chip measurement (the round-5 parity-audit aborts).
+PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q
 
 echo "== multichip dryrun (8 virtual devices) =="
 # PALLAS_AXON_POOL_IPS= : keep the axon TPU plugin out — sitecustomize's
