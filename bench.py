@@ -1028,6 +1028,9 @@ def bench_train(max_len: int = 8192, layers: int = 2, reps: int = 3,
     model = InternVLAN1Model(cfg)
     params = _random_bf16_params(model, cfg, image_hw)
     pol = InternVLAN1Policy(model, params, cfg)
+    del params  # Trainer.__init__ re-homes the tree onto its mesh and
+    #             re-aliases pol.params; a lingering local reference would
+    #             pin the 4.7 GB original next to the Adam moments
     pol.tokenizer = SimpleTokenizer(cfg.text.vocab_size)
     tpi = pol._tokens_per_image((image_hw, image_hw))
 
@@ -1162,9 +1165,11 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="single-stream bf16 parity config (3-point layer "
                          "fit; the model does not fit resident in bf16)")
-    ap.add_argument("--batch", type=int, default=16,
+    ap.add_argument("--batch", type=int, default=12,
                     help="episode streams per cohort (int8 resident full "
-                         "model)")
+                         "model). Default 12 — the round-5 adjudicated "
+                         "headline geometry (docs/artifacts/"
+                         "r05_headline.jsonl)")
     ap.add_argument("--blocking", action="store_true",
                     help="single blocking cohort (no phase interleaving)")
     ap.add_argument("--compare-quant", action="store_true",
@@ -1204,13 +1209,17 @@ def main() -> None:
                          "for the pipelined mode: int8 = W8A8 (default); "
                          "int4 = W4A8 (grouped-128 scales, lm_head int8) — "
                          "halves the decode weight stream")
-    ap.add_argument("--kv-dtype", type=str, default="bf16",
+    ap.add_argument("--kv-dtype", type=str, default="int8",
                     choices=("bf16", "int8"),
                     help="decode KV-cache storage dtype for the pipelined "
                          "mode: int8 (symmetric per-token-per-kv-head "
                          "scales) halves KV HBM reads during decode — "
                          "tests/test_kv_quant.py pins the scale-commuting "
-                         "attention math")
+                         "attention math. Default int8: the round-5 "
+                         "headline adjudication (docs/artifacts/"
+                         "r05_headline.jsonl) — int8 KV's median-of-3 "
+                         "evaluator headline won at the pinned 4x12 "
+                         "geometry (117.19 vs 116.42) and halves KV HBM")
     ap.add_argument("--train", action="store_true",
                     help="training-side bench: one packed max-len N1 train "
                          "step (full 7B width, reduced depth, remat + "
@@ -1227,11 +1236,19 @@ def main() -> None:
                          "percentiles describe the named config — for "
                          "pareto sweeps")
     ap.add_argument("--no-overlap", action="store_true",
-                    help="A-B lever: run the evaluator-path bench with the "
-                         "pre-overlap barrier form (all cohorts' env "
-                         "stepping as a serial host phase after the "
-                         "macro-step barrier) instead of firing each "
-                         "cohort's apply as its coroutine completes")
+                    help="pin the pre-overlap barrier form (all cohorts' "
+                         "env stepping as a serial host phase after the "
+                         "macro-step barrier). This is the DEFAULT since "
+                         "the round-5 A-B (docs/artifacts/"
+                         "r05_headline.jsonl): the barrier form's "
+                         "evaluator median beat eager apply-overlap at "
+                         "both KV dtypes (117.19 vs 111.42 int8, 116.42 "
+                         "vs 115.98 bf16)")
+    ap.add_argument("--overlap", action="store_true",
+                    help="A-B lever: fire each cohort's env apply as its "
+                         "coroutine completes instead of the default "
+                         "barrier form (lost the round-5 A-B; kept for "
+                         "re-adjudication on other hosts)")
     ap.add_argument("--eval-runs", type=int, default=3,
                     help="evaluator-path samples for the median headline "
                          "(default 3; use 1 for sweep points, 3+ for the "
@@ -1241,11 +1258,22 @@ def main() -> None:
                          "through the full product loop with p50/p99 "
                          "per-action latency) that the default pipelined "
                          "mode appends to detail.evaluator_path")
-    ap.add_argument("--cohorts", type=int, default=3,
+    ap.add_argument("--cohorts", type=int, default=4,
                     help="number of phase-interleaved cohorts. The DEFAULT "
                          "mode is pipelined multi-cohort serving — the "
                          "framework's vln_pipelined evaluator really "
-                         "serves cohorts x batch episode streams per chip")
+                         "serves cohorts x batch episode streams per chip. "
+                         "Default 4 — at fixed 48 streams the round-5 "
+                         "sweep adjudicated 4x12 over 3x16 and 2x24")
+    ap.add_argument("--auto-modes", action="store_true",
+                    help="pre-round-5 exploratory default: measure both "
+                         "decode modes, both S1 modes, and neighboring "
+                         "cohort counts, report the best. Without it the "
+                         "default run pins the adjudicated headline "
+                         "topology (shared grouped decode, per-cohort S1, "
+                         "exact --cohorts x --batch) so the headline is "
+                         "ONE declared configuration, not a per-run "
+                         "argmax (VERDICT r4 weak #2/#6)")
     args = ap.parse_args()
 
     # Fail FAST with a diagnostic JSON line if the device backend is
@@ -1323,21 +1351,25 @@ def main() -> None:
     elif args.blocking:
         result = bench_batched(args.batch)
     else:
-        shared = None  # auto: measure both decode modes, report the best
+        # default: pin the adjudicated headline topology (shared grouped
+        # decode, per-cohort S1, exact geometry); --auto-modes restores
+        # the exploratory measure-everything behavior
+        shared = None if args.auto_modes else True
         if args.shared_decode:
             shared = True
         elif args.per_cohort_decode:
             shared = False
-        s1 = None
+        s1 = None if args.auto_modes else False
         if args.shared_s1:
             s1 = True
         elif args.per_cohort_s1:
             s1 = False
+        pin = args.pin_geometry or not args.auto_modes
         result = bench_pipelined(args.batch, args.cohorts,
                                  shared_decode=shared, shared_s1=s1,
                                  weight_dtype=args.weight_dtype,
                                  kv_dtype=args.kv_dtype,
-                                 pin_geometry=args.pin_geometry)
+                                 pin_geometry=pin)
     ctx = result.pop("_ctx", None)
     if ctx is not None and not args.no_evaluator_path:
         # THE headline (BENCH_METHOD.md): actions/s through the FULL
@@ -1351,7 +1383,8 @@ def main() -> None:
             # warm once per process: the samples share ctx's jit caches and
             # visit identical shape sequences, so re-warming every sample
             # would be pure duplicate work (minutes each on the chip)
-            runs = [bench_evaluator_path(ctx, overlap=not args.no_overlap,
+            overlap = args.overlap and not args.no_overlap
+            runs = [bench_evaluator_path(ctx, overlap=overlap,
                                          warm=(i == 0))
                     for i in range(n_runs)]
             vals = sorted(r["actions_per_sec"] for r in runs)

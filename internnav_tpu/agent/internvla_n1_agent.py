@@ -69,12 +69,22 @@ def _build_n1_policy(cfg: AgentCfg, settings: Dict[str, Any]):
                 except Exception:
                     wdt = None
             n1_cfg = InternVLAN1Config.qwen25vl_7b(
-                system1, weight_dtype=wdt or "bf16")
+                system1, weight_dtype=wdt or "bf16",
+                kv_dtype=settings.get("kv_dtype", "bf16"))
         if native:
             return InternVLAN1Policy.from_pretrained(cfg.ckpt_path, n1_cfg)
         return InternVLAN1Policy.from_pretrained_torch(cfg.ckpt_path, n1_cfg)
     if n1_cfg is None:
         n1_cfg = InternVLAN1Config.tiny(system1)
+        kvd = settings.get("kv_dtype")
+        if kvd and kvd != n1_cfg.text.kv_dtype:
+            # honor the serving profile's KV dtype on the random-init
+            # path too (the realworld launcher's --profile realtime
+            # sets it; scripts/realworld/http_internvla_server.py)
+            import dataclasses as _dc
+
+            n1_cfg = _dc.replace(
+                n1_cfg, text=_dc.replace(n1_cfg.text, kv_dtype=kvd))
     return InternVLAN1Policy.build(n1_cfg)
 
 

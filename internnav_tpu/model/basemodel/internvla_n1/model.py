@@ -60,6 +60,13 @@ class InternVLAN1Config:
     image_token_index: int = IMAGE_TOKEN_INDEX
     num_history: int = 8
     predict_step_nums: int = 32
+    #: System-1 frame resolution the DinoViT / NavDP pos embeds are built
+    #: for. None (tiny/test configs) = follow the init-time image_hw
+    #: argument. The flagship sets 224: the reference agent resizes every
+    #: S1 memory/current frame to 224x224 before the head (reference
+    #: internvla_n1_agent.py:310-319), and converted checkpoints carry
+    #: 224-resolution pos embeds (257 tokens at patch 14).
+    s1_image_hw: Optional[int] = None
 
     @classmethod
     def tiny(cls, system1: str = "nextdit_async") -> "InternVLAN1Config":
@@ -95,7 +102,7 @@ class InternVLAN1Config:
                                        kv_dtype=kv_dtype,
                                        remat=remat, **kw),
                    vision=QwenVisionConfig(dtype=jnp.bfloat16),
-                   system1=system1)
+                   system1=system1, s1_image_hw=224)
 
 
 class MemoryEncoder(nn.Module):

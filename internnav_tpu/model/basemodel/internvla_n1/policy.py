@@ -95,6 +95,52 @@ class SimpleTokenizer:
                         if int(i) not in (self.eos_token_id,))
 
 
+def _infer_s1_hw(params) -> Optional[int]:
+    """Resolution the S1 DinoViT pos embeds were built for, read off the
+    param tree (pos_embed is (1, 1 + (hw/14)^2, dim); encoder/vit.py:72).
+    None when no DinoViT is present (e.g. plain `nextdit` without the
+    async memory encoder)."""
+    import math
+
+    def walk(tree):
+        if hasattr(tree, "items"):
+            for k, v in tree.items():
+                if k == "pos_embed" and hasattr(v, "shape") \
+                        and len(v.shape) == 3:
+                    g = int(round(math.sqrt(v.shape[1] - 1)))
+                    if g * g == v.shape[1] - 1:
+                        return g * 14
+                    continue
+                found = walk(v)
+                if found:
+                    return found
+        return None
+
+    return walk(params)
+
+
+def _resize_frames(frames: np.ndarray, hw: int) -> np.ndarray:
+    """Host-side resize of (..., H, W, C) frame stacks to (hw, hw) with
+    PIL's default filter — what the reference agent does to every S1
+    memory/current frame (internvla_n1_agent.py:310-319). No-op when the
+    frames already match."""
+    arr = np.asarray(frames)
+    if arr.shape[-3] == hw and arr.shape[-2] == hw:
+        return arr
+    from PIL import Image
+
+    lead, c = arr.shape[:-3], arr.shape[-1]
+    flat = arr.reshape((-1,) + arr.shape[-3:])
+    out = np.empty((flat.shape[0], hw, hw, c), arr.dtype)
+    for i, f in enumerate(flat):
+        if c == 1:  # PIL has no 1-channel HxWx1 mode; squeeze (depth)
+            out[i, ..., 0] = np.asarray(
+                Image.fromarray(f[..., 0]).resize((hw, hw)))
+        else:
+            out[i] = np.asarray(Image.fromarray(f).resize((hw, hw)))
+    return out.reshape(lead + (hw, hw, c))
+
+
 class InternVLAN1Policy:
     """Holds (model, params) + host-side prompt/history orchestration."""
 
@@ -125,6 +171,14 @@ class InternVLAN1Policy:
         self.model = model
         self.params = params
         self.cfg = cfg
+        #: S1 frame resolution the loaded pos embeds require; frames of any
+        #: other camera resolution are host-resized in s1_step_latent
+        #: (reference agent parity: internvla_n1_agent.py:310-319 resizes
+        #: every S1 frame to 224). cfg wins; else inferred from the actual
+        #: DinoViT pos_embed leaf so from_pretrained of any-resolution
+        #: checkpoints stays self-consistent.
+        self.s1_image_hw = getattr(cfg, "s1_image_hw", None) \
+            or _infer_s1_hw(params)
         # standalone text model sharing the "language_model" params subtree
         # (setup-defined submodules aren't reachable outside apply)
         from internnav_tpu.model.basemodel.internvla_n1.qwen_text import QwenTextModel
@@ -299,7 +353,11 @@ class InternVLAN1Policy:
             tuple(map(tuple, grid.tolist())),
         )
         cos, sin = rotary_table(idx["pos_ids"], cfg.vision.hidden_size // cfg.vision.num_heads)
-        s = image_hw
+        # S1 pos embeds are resolution-fixed (DinoViT pos_embed); the
+        # flagship pins 224 via cfg.s1_image_hw so from_pretrained's
+        # eval_shape matches real converted checkpoints regardless of the
+        # (S2-only) image_hw argument
+        s = getattr(cfg, "s1_image_hw", None) or image_hw
 
         def init_fn(mdl):
             img_tokens = mdl.encode_vision(
@@ -764,9 +822,24 @@ class InternVLAN1Policy:
                        latent, continuous_traj: bool = True,
                        num_sample_trajs: int = 32) -> S1Output:
         """rgb: (B, 2, H, W, 3) [memory frame, current]; depth likewise
-        (B, 2, H, W, 1); latent from generate_latents."""
+        (B, 2, H, W, 1); latent from generate_latents. Frames at any other
+        camera resolution are host-resized to the pos-embed resolution
+        (self.s1_image_hw), as the reference agent does
+        (internvla_n1_agent.py:310-319)."""
         self._rng, sub = jax.random.split(self._rng)
         cfg = self.cfg
+        if self.s1_image_hw:
+            # resize only on a genuine patch-grid mismatch: the DinoViT
+            # conv is SAME-padded stride 14, so any H with
+            # ceil(H/14) == pos-embed grid feeds the loaded pos_embed
+            # unchanged (tiny test policies built at e.g. 64 stay
+            # bit-identical to the batched serving path)
+            g0 = self.s1_image_hw // 14
+            h, w = np.asarray(rgb).shape[-3:-1]
+            if (-(-h // 14), -(-w // 14)) != (g0, g0):
+                rgb = _resize_frames(rgb, self.s1_image_hw)
+                if depth is not None:
+                    depth = _resize_frames(depth, self.s1_image_hw)
         if "nextdit" in cfg.system1:
             rgb_u8 = np.asarray(rgb, np.uint8)
             key = f"s1_nextdit_{rgb_u8.shape}_{num_sample_trajs}"

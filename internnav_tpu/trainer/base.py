@@ -158,6 +158,20 @@ class Trainer:
             rep = replicated(self.mesh)
             self.param_sharding = jax.tree_util.tree_map(lambda _: rep, policy.params)
         self.params = jax.device_put(policy.params, self.param_sharding)
+        # alias the policy to the sharded tree BEFORE the optimizer states
+        # allocate: device_put above made a copy whenever the sharding
+        # differs (always, on a fresh policy), and a second full param
+        # tree does not fit next to Adam moments at 7B width (the round-5
+        # bench --train RESOURCE_EXHAUSTED). The policy's host-prep fns
+        # (frozen-tower encodes in prepare_batch) read the live tree; the
+        # train loops re-sync after every donated step
+        # (train():295, train_on_batches():216).
+        policy.params = self.params
+        # subclasses wrap tx (e.g. multi_transform trainability masking)
+        # BEFORE any opt state materializes — initializing the unmasked
+        # optimizer first would transiently allocate moments for the full
+        # tree (8.9 GB at 7B width) on top of the masked ones
+        self.tx = self._wrap_tx(self.tx)
         self.opt_state = self.tx.init(self.params)
         self._train_step = None
         self._ckpt_mgr = None
@@ -170,6 +184,12 @@ class Trainer:
             self.ema_params = None
 
     # ------------------------------------------------------------ loss api
+    def _wrap_tx(self, tx: optax.GradientTransformation) -> optax.GradientTransformation:
+        """Hook for subclasses to wrap the optimizer (trainability masks
+        etc.) before opt_state is initialized. self.policy/self.params are
+        set when this runs."""
+        return tx
+
     def loss_fn(self, params, batch, rng) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         raise NotImplementedError
 

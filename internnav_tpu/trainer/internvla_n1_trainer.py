@@ -104,13 +104,19 @@ class InternVLAN1Trainer(Trainer):
                 policy.cfg, text=_dc.replace(policy.cfg.text, remat=True))
             policy.model = InternVLAN1Model(policy.cfg)
         super().__init__(cfg, policy, dataset, total_steps)
-        labels = trainability_labels(policy.params, tune_llm=tune_llm,
-                                     tune_mm_vision=tune_mm_vision)
-        base_tx = self.tx
-        self.tx = optax.multi_transform(
-            {"train": base_tx, "freeze": optax.set_to_zero()}, labels
+
+    def _wrap_tx(self, tx):
+        """Mask the optimizer to the trainable subtrees BEFORE any opt
+        state materializes (base.__init__ calls this pre-init): the frozen
+        towers get set_to_zero (no moments), so Adam state is allocated
+        for the 1.56B trainable params only — never transiently for the
+        full 2.2B tree."""
+        labels = trainability_labels(self.policy.params,
+                                     tune_llm=self.tune_llm,
+                                     tune_mm_vision=self.tune_mm_vision)
+        return optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
         )
-        self.opt_state = self.tx.init(self.params)
 
     # ------------------------------------------------------------ host prep
     def prepare_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -125,7 +131,10 @@ class InternVLAN1Trainer(Trainer):
         grids = []
         for imgs in batch["images"]:
             toks, grid = pol._encode_images(np.asarray(imgs))
-            img_tokens.append(np.asarray(toks))
+            # keep tokens DEVICE-resident: fetching them to host only to
+            # re-upload in loss_fn would round-trip ~50 MB per packed-8192
+            # batch through the host link (seconds on a tunneled chip)
+            img_tokens.append(toks)
             grids.append(grid)
         all_grid = np.concatenate(grids, axis=0)
         input_ids = batch["input_ids"]
@@ -139,7 +148,7 @@ class InternVLAN1Trainer(Trainer):
             "labels": batch["labels"],
             "segment_ids": batch.get("segment_ids"),
             "position_ids": pos_ids,
-            "image_embeds": np.concatenate(img_tokens, axis=0),
+            "image_embeds": jnp.concatenate(img_tokens, axis=0),
             "traj_poses": batch["traj_poses"],
             "traj_mask": batch["traj_mask"].astype(np.float32),
         }
